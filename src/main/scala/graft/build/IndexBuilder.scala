@@ -1,0 +1,306 @@
+package graft.build
+
+import graft.analysis.Tokenizer
+import graft.core._
+import graft.tables.Snapshots
+import graft.tables.Snapshots.LineageRow
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+// ---- table row types (fixed schemas, SURVEY §1.3) --------------------------
+
+/** Engine input row, per BASELINE.json input_hint. */
+final case class CorpusDoc(repo: String, path: String, commit: String, lang: String, content: String)
+
+/** Journal row: per-document analysis output (the reference's index journal,
+  * IndexJournalWriterImpl.java:26-72, as a parquet table). */
+final case class JournalRow(
+    doc_id: Long, url_id: Int, domain_id: Int, rank: Int, doc_meta: Long,
+    length: Int, repo: String, path: String, commit: String, lang: String,
+    content_sha256: String, keywords: Array[KeywordRow])
+final case class KeywordRow(term: String, meta: Long, tf: Int)
+
+/** One exploded posting before the index shuffle. */
+final case class RawPosting(term_hash: Long, doc_range: Long, rank_doc_id: Long, term_meta: Long)
+final case class BucketedPosting(bucket: Int, term_hash: Long, doc_range: Long, rank_doc_id: Long, term_meta: Long)
+final case class FwdInput(doc_range: Long, rank_doc_id: Long, doc_meta: Long, domain_id: Long)
+
+/** Encoded posting block for one (term, docRange). `max_pos_count` is the
+  * block-max bound used by WAND pruning. */
+final case class PostingBlock(
+    bucket: Int, term_hash: Long, doc_range: Long, n: Int, max_pos_count: Int,
+    blob: Array[Byte], skip_docs: Array[Long], skip_offs: Array[Int])
+
+/** Forward-index block for one docRange: rank_doc_id → (doc_meta, domain_id)
+  * (the reference's in-RAM forward index, ForwardIndexReader.java:53-71,
+  * sharded by docRange so query partitions are self-sufficient). */
+final case class FwdBlock(
+    doc_range: Long, n: Int,
+    blob_meta: Array[Byte], meta_skip_docs: Array[Long], meta_skip_offs: Array[Int],
+    blob_domain: Array[Byte], dom_skip_docs: Array[Long], dom_skip_offs: Array[Int])
+
+final case class TermStatsRow(bucket: Int, term_hash: Long, df_full: Long, df_prio: Long)
+
+/** Index build configuration.
+  *
+  * @param numBuckets    term-hash buckets; postings/term_stats are disk-
+  *                      partitioned by bucket so a query prunes its scan to
+  *                      the buckets of its terms (partition pruning is our
+  *                      main "predicate pushdown", SURVEY §4)
+  * @param docRangeShift rank-encoded docIds are grouped into ranges of
+  *                      2^shift ids; (term, docRange) is the posting-block
+  *                      key. Ranges align across terms so query-time
+  *                      intersection co-locates by a shuffle of only the
+  *                      query's own postings. docRange doubles as the salt:
+  *                      head terms split into one block per range, so no
+  *                      single reducer owns a whole head term.
+  */
+final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16)
+
+/** Index build pipeline (SURVEY §3.2 Spark rebuild):
+  *
+  * corpus → [journal: analyze] → [postings: explode → ONE wide shuffle
+  * (repartition by (bucket, docRange)) → sortWithinPartitions(term, docId) →
+  * mapPartitions encode blocks] → [term_stats] → [fwd] → snapshot commit.
+  *
+  * Every stage writes into a staging snapshot dir and drops a _DONE marker;
+  * a killed build re-run with the same snapshotId skips completed stages
+  * (resume test in IndexPipelineSpec).
+  */
+object IndexBuilder {
+
+  final val StageJournal  = "journal"
+  final val StageDocs     = "documents"
+  final val StagePostings = "postings"
+  final val StagePrio     = "postings_prio"
+  final val StageStats    = "term_stats"
+  final val StageFwd      = "fwd"
+
+  def bucketOf(termHash: Long, numBuckets: Int): Int =
+    (((termHash % numBuckets) + numBuckets) % numBuckets).toInt
+
+  /** Deterministic repo (domain) rank 1..255, 0 best is reserved for
+    * explicitly-ranked domains (DomainRankings.java:27-38; unknown=255).
+    * Our corpus has no link graph, so the rank is a frozen hash — stable
+    * across builds, which is all posting order needs. */
+  def repoRank(repo: String): Int =
+    1 + (((Hashes.termHash("rank:" + repo) % 255) + 255) % 255).toInt
+
+  // --------------------------------------------------------------------------
+  /** Full build from a corpus table (repo, path, commit, lang, content). */
+  def buildFromCorpus(spark: SparkSession, corpus: DataFrame, root: String,
+                      snapshotId: String, conf: IndexConf = IndexConf()): Snapshots.Manifest = {
+    import spark.implicits._
+    val dir = Snapshots.stagingDir(root, snapshotId).toString
+
+    // -- stage: journal (tokenize + deterministic id assignment) ------------
+    if (!Snapshots.isStageDone(root, snapshotId, StageJournal)) {
+      // Deterministic doc ids without a global row_number bottleneck:
+      // per-repo local ordinal (window partitioned by repo — parallel) plus a
+      // broadcast per-repo offset (repo dimension is tiny relative to docs).
+      val repoDim = corpus.groupBy($"repo").agg(count(lit(1)).as("n_docs"))
+        .withColumn("repo_id", (row_number().over(Window.orderBy($"repo")) - 1))
+        .withColumn("repo_offset",
+          coalesce(sum($"n_docs").over(Window.orderBy($"repo")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val localW = Window.partitionBy($"repo").orderBy($"path", $"commit")
+      val withIds = corpus
+        .withColumn("local_rn", row_number().over(localW).cast("long") - 1L)
+        .join(broadcast(repoDim), Seq("repo"))
+        .withColumn("url_id", ($"repo_offset" + $"local_rn" + 1L).cast("int"))
+        .withColumn("domain_id", $"repo_id".cast("int"))
+
+      val journal = withIds
+        .select($"repo", $"path", $"commit", $"lang", $"content", $"url_id", $"domain_id")
+        .as[(String, String, String, String, String, Int, Int)]
+        .map { case (repo, path, commit, lang, content, urlId, domainId) =>
+          val rank = repoRank(repo)
+          val a = Tokenizer.analyze(repo, path, lang, content, rank)
+          JournalRow(
+            doc_id = DocId.combine(domainId, urlId),
+            url_id = urlId, domain_id = domainId, rank = rank,
+            doc_meta = a.docMeta, length = a.length,
+            repo = repo, path = path, commit = commit, lang = lang,
+            content_sha256 = Hashes.sha256Hex(content),
+            keywords = a.keywords.map(k => KeywordRow(k.term, k.meta, k.tf)))
+        }
+      journal.write.mode("overwrite").parquet(s"$dir/journal")
+      Snapshots.markStageDone(root, snapshotId, StageJournal)
+    }
+
+    val journal = spark.read.parquet(s"$dir/journal")
+    buildFromJournal(spark, journal, root, snapshotId, conf)
+  }
+
+  // --------------------------------------------------------------------------
+  /** Build from a journal table — also the entry point for the postings-level
+    * fixtures that bypass the tokenizer (FIXTURES.md §2). */
+  def buildFromJournal(spark: SparkSession, journal: DataFrame, root: String,
+                       snapshotId: String, conf: IndexConf): Snapshots.Manifest = {
+    import spark.implicits._
+    val dir = Snapshots.stagingDir(root, snapshotId).toString
+    val lineageAcc = spark.sparkContext.collectionAccumulator[LineageRow]("lineage")
+
+    // -- stage: documents dimension ------------------------------------------
+    if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
+      journal.drop("keywords").write.mode("overwrite").parquet(s"$dir/documents")
+      Snapshots.markStageDone(root, snapshotId, StageDocs)
+    }
+
+    // Exploded postings: one row per (term, doc). rank_doc_id is the posting
+    // sort key — (domainRank << 32) | urlId, best-ranked docs first
+    // (ReverseIndexFullConverter.java:160-182).
+    def explodedPostings: Dataset[RawPosting] = journal
+      .select($"url_id", $"rank", explode($"keywords").as("kw"))
+      .select(
+        xxhash64($"kw.term").as("term_hash"),
+        shiftrightunsigned(
+          shiftleft($"rank".cast("long"), 32).bitwiseOR($"url_id".cast("long")),
+          conf.docRangeShift).as("doc_range"),
+        shiftleft($"rank".cast("long"), 32).bitwiseOR($"url_id".cast("long")).as("rank_doc_id"),
+        $"kw.meta".as("term_meta"))
+      .as[RawPosting]
+
+    // -- stage: full-tier posting blocks --------------------------------------
+    if (!Snapshots.isStageDone(root, snapshotId, StagePostings)) {
+      encodeBlocks(explodedPostings, conf, StagePostings, lineageAcc, keepMeta = true)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
+      Snapshots.markStageDone(root, snapshotId, StagePostings)
+    }
+
+    // -- stage: priority-tier posting blocks (docIds only, records with any
+    //    priority flag — ReverseIndexPriorityParameters.java:14-28) ----------
+    if (!Snapshots.isStageDone(root, snapshotId, StagePrio)) {
+      val prio = explodedPostings.filter(p => (p.term_meta & WordFlags.PriorityMask) != 0L)
+      encodeBlocks(prio, conf, StagePrio, lineageAcc, keepMeta = false)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings_prio")
+      Snapshots.markStageDone(root, snapshotId, StagePrio)
+    }
+
+    // -- stage: term stats (df per tier; A1/A6) -------------------------------
+    if (!Snapshots.isStageDone(root, snapshotId, StageStats)) {
+      journal.select(explode($"keywords").as("kw"))
+        .select(xxhash64($"kw.term").as("term_hash"), $"kw.meta".as("term_meta"))
+        .groupBy($"term_hash")
+        .agg(
+          count(lit(1)).as("df_full"),
+          sum(when($"term_meta".bitwiseAND(lit(WordFlags.PriorityMask)) =!= 0L, 1L)
+            .otherwise(0L)).as("df_prio"))
+        .withColumn("bucket", pmod($"term_hash", lit(conf.numBuckets.toLong)).cast("int"))
+        .select($"bucket", $"term_hash", $"df_full", $"df_prio")
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/term_stats")
+      Snapshots.markStageDone(root, snapshotId, StageStats)
+    }
+
+    // -- stage: forward blocks ------------------------------------------------
+    if (!Snapshots.isStageDone(root, snapshotId, StageFwd)) {
+      val t0 = System.currentTimeMillis()
+      journal
+        .select($"url_id", $"rank", $"domain_id", $"doc_meta")
+        .select(
+          shiftrightunsigned(shiftleft($"rank".cast("long"), 32)
+            .bitwiseOR($"url_id".cast("long")), conf.docRangeShift).as("doc_range"),
+          shiftleft($"rank".cast("long"), 32).bitwiseOR($"url_id".cast("long")).as("rank_doc_id"),
+          $"doc_meta", $"domain_id".cast("long").as("domain_id"))
+        .as[FwdInput]
+        .repartition($"doc_range")
+        .sortWithinPartitions($"doc_range", $"rank_doc_id")
+        .mapPartitions { it =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[FwdBlock]
+          val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val metas = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val doms = scala.collection.mutable.ArrayBuffer.empty[Long]
+          var curRange = Long.MinValue
+          def flush(): Unit = if (docs.nonEmpty) {
+            val (bm, sm) = PostingCodec.encode(docs.toArray, metas.toArray)
+            val (bd, sd) = PostingCodec.encode(docs.toArray, doms.toArray)
+            out += FwdBlock(curRange, docs.length, bm, sm.docIds, sm.offsets, bd, sd.docIds, sd.offsets)
+            docs.clear(); metas.clear(); doms.clear()
+          }
+          it.foreach { r =>
+            if (r.doc_range != curRange) { flush(); curRange = r.doc_range }
+            docs += r.rank_doc_id; metas += r.doc_meta; doms += r.domain_id
+          }
+          flush()
+          out.iterator
+        }
+        .write.mode("overwrite").parquet(s"$dir/fwd")
+      lineageAcc.add(LineageRow(StageFwd, -1, 0, 0, 0, 0, System.currentTimeMillis() - t0))
+      Snapshots.markStageDone(root, snapshotId, StageFwd)
+    }
+
+    val docCount = spark.read.parquet(s"$dir/documents").count()
+    val manifest = Snapshots.Manifest(
+      snapshotId, docCount, conf.numBuckets, conf.docRangeShift,
+      Seq(StageJournal, StageDocs, StagePostings, StagePrio, StageStats, StageFwd),
+      scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
+    Snapshots.writeManifest(root, manifest)
+    Snapshots.commit(root, snapshotId)
+    manifest
+  }
+
+  /** The single wide shuffle of the index build: distribute by
+    * (bucket, docRange) — docRange doubles as head-term salt — then sort
+    * within partitions by (term, docId) and encode one block per run.
+    * This is the distributed form of the reference's counting-sort +
+    * segment-sort layout (ReverseIndexFullConverter.java:70-103). */
+  private def encodeBlocks(postings: Dataset[RawPosting], conf: IndexConf, stage: String,
+                           lineage: org.apache.spark.util.CollectionAccumulator[LineageRow],
+                           keepMeta: Boolean): Dataset[PostingBlock] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val nb = conf.numBuckets
+    postings
+      .withColumn("bucket", pmod($"term_hash", lit(nb.toLong)).cast("int"))
+      .select($"bucket", $"term_hash", $"doc_range", $"rank_doc_id", $"term_meta")
+      .as[BucketedPosting]
+      .repartition($"bucket", $"doc_range")
+      .sortWithinPartitions($"bucket", $"term_hash", $"doc_range", $"rank_doc_id")
+      .mapPartitions { it =>
+        val t0 = System.currentTimeMillis()
+        val pid = TaskContext.getPartitionId()
+        val out = scala.collection.mutable.ArrayBuffer.empty[PostingBlock]
+        val docs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val metas = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var curTerm = 0L
+        var curRange = 0L
+        var curBucket = 0
+        var started = false
+        var totalPostings = 0L
+        var totalBytes = 0L
+        var termLo = Long.MaxValue
+        var termHi = Long.MinValue
+        def flush(): Unit = if (docs.nonEmpty) {
+          val (blob, skip) = PostingCodec.encode(docs.toArray, metas.toArray)
+          var maxPc = 0
+          var i = 0
+          while (i < metas.length) {
+            val pc = WordMeta.positionCount(metas(i))
+            if (pc > maxPc) maxPc = pc
+            i += 1
+          }
+          out += PostingBlock(curBucket, curTerm, curRange, docs.length, maxPc,
+            blob, skip.docIds, skip.offsets)
+          totalPostings += docs.length
+          totalBytes += blob.length
+          docs.clear(); metas.clear()
+        }
+        it.foreach { p =>
+          if (!started || p.term_hash != curTerm || p.doc_range != curRange) {
+            flush(); curTerm = p.term_hash; curRange = p.doc_range; curBucket = p.bucket; started = true
+          }
+          docs += p.rank_doc_id
+          metas += (if (keepMeta) p.term_meta else 0L)
+          termLo = math.min(termLo, p.term_hash)
+          termHi = math.max(termHi, p.term_hash)
+        }
+        flush()
+        if (totalPostings > 0)
+          lineage.add(LineageRow(stage, pid, termLo, termHi, totalPostings, totalBytes,
+            System.currentTimeMillis() - t0))
+        out.iterator
+      }
+  }
+}

@@ -1,0 +1,140 @@
+package graft.tables
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style snapshot layer: Parquet data dirs + JSON manifest with an
+  * atomically-swapped current-snapshot pointer.
+  *
+  * Mirrors the reference's NEXT_PART/LIVE_PART file swap under write lock
+  * (/root/reference/code/services-core/index-service/.../IndexServicesFactory.java:189-209,
+  * SearchIndex.switchIndex:64-85): a new index is built off to the side and
+  * becomes visible in one atomic pointer move, so readers never observe a
+  * half-built index and a killed build resumes from the last committed
+  * snapshot. No Iceberg runtime jar ships in this environment, so the
+  * manifest format is our own minimal JSON.
+  */
+object Snapshots {
+
+  final val PointerFile = "_current_snapshot"
+
+  final case class Manifest(
+      snapshotId: String,
+      docCount: Long,
+      numBuckets: Int,
+      docRangeShift: Int,
+      stagesDone: Seq[String],
+      lineage: Seq[LineageRow])
+
+  /** Per-partition build ledger row (north rule: partitionId, termRange,
+    * docCount, postingBytes, wallClock). */
+  final case class LineageRow(
+      stage: String,
+      partitionId: Int,
+      termRangeLo: Long,
+      termRangeHi: Long,
+      docCount: Long,
+      postingBytes: Long,
+      wallClockMs: Long)
+
+  // -- tiny hand-rolled JSON (no deps beyond Spark's jars) -------------------
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  def manifestJson(m: Manifest): String = {
+    val rows = m.lineage.map { r =>
+      s"""{"stage":"${esc(r.stage)}","partitionId":${r.partitionId},"termRangeLo":${r.termRangeLo},"termRangeHi":${r.termRangeHi},"docCount":${r.docCount},"postingBytes":${r.postingBytes},"wallClockMs":${r.wallClockMs}}"""
+    }.mkString("[", ",", "]")
+    val stages = m.stagesDone.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
+    s"""{"snapshotId":"${esc(m.snapshotId)}","docCount":${m.docCount},"numBuckets":${m.numBuckets},"docRangeShift":${m.docRangeShift},"stagesDone":$stages,"lineage":$rows}"""
+  }
+
+  def parseManifest(json: String): Manifest = {
+    def field(name: String): String = {
+      val p = ("\"" + name + "\"\\s*:\\s*").r
+      p.findFirstMatchIn(json) match {
+        case Some(m) =>
+          val rest = json.substring(m.end)
+          if (rest.startsWith("\"")) rest.drop(1).takeWhile(_ != '"')
+          else if (rest.startsWith("[")) {
+            var depth = 0; var i = 0
+            while ({ val c = rest(i); if (c == '[') depth += 1 else if (c == ']') depth -= 1; depth > 0 }) i += 1
+            rest.substring(1, i)
+          }
+          else rest.takeWhile(c => c.isDigit || c == '-' || c == '.')
+        case None => ""
+      }
+    }
+    val lineageStr = field("lineage")
+    val rows = "\\{[^}]*\\}".r.findAllIn(lineageStr).map { obj =>
+      def num(n: String): Long = ("\"" + n + "\":(-?\\d+)").r.findFirstMatchIn(obj).map(_.group(1).toLong).getOrElse(0L)
+      def str(n: String): String = ("\"" + n + "\":\"([^\"]*)\"").r.findFirstMatchIn(obj).map(_.group(1)).getOrElse("")
+      LineageRow(str("stage"), num("partitionId").toInt, num("termRangeLo"), num("termRangeHi"),
+        num("docCount"), num("postingBytes"), num("wallClockMs"))
+    }.toSeq
+    val stages = "\"([^\"]+)\"".r.findAllMatchIn(field("stagesDone")).map(_.group(1)).toSeq
+    Manifest(field("snapshotId"), field("docCount").toLong, field("numBuckets").toInt,
+      field("docRangeShift").toInt, stages, rows)
+  }
+
+  // -- snapshot lifecycle ----------------------------------------------------
+
+  /** Directory where a new snapshot is staged before commit. */
+  def stagingDir(root: String, snapshotId: String): Path =
+    Paths.get(root, "snapshots", snapshotId)
+
+  def writeManifest(root: String, m: Manifest): Unit = {
+    val dir = stagingDir(root, m.snapshotId)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("manifest.json"),
+      manifestJson(m).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Atomic publish: write pointer to tmp then move with ATOMIC_MOVE —
+    * the distributed analog of the reference's Files.move(REPLACE_EXISTING)
+    * swap (SearchIndex.java:64-85). */
+  def commit(root: String, snapshotId: String): Unit = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP)
+    val tmp = rootP.resolve(PointerFile + ".tmp")
+    Files.write(tmp, snapshotId.getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, rootP.resolve(PointerFile),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, rootP.resolve(PointerFile), StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  def currentSnapshotId(root: String): Option[String] = {
+    val p = Paths.get(root, PointerFile)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
+    else None
+  }
+
+  def currentManifest(root: String): Option[Manifest] =
+    currentSnapshotId(root).flatMap { id =>
+      val p = stagingDir(root, id).resolve("manifest.json")
+      if (Files.exists(p)) Some(parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+      else None
+    }
+
+  /** Staged (possibly uncommitted) manifest for resume: newest staging dir
+    * with a manifest, whether or not the pointer was swapped. */
+  def stagedManifest(root: String, snapshotId: String): Option[Manifest] = {
+    val p = stagingDir(root, snapshotId).resolve("manifest.json")
+    if (Files.exists(p)) Some(parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    else None
+  }
+
+  /** Stage-completion marker: cheap resumability ledger per stage. */
+  def markStageDone(root: String, snapshotId: String, stage: String): Unit = {
+    val dir = stagingDir(root, snapshotId)
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(s"_DONE_$stage"), Array.emptyByteArray)
+  }
+  def isStageDone(root: String, snapshotId: String, stage: String): Boolean =
+    Files.exists(stagingDir(root, snapshotId).resolve(s"_DONE_$stage"))
+}
