@@ -1,13 +1,472 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.build.{CorpusDoc, IndexBuilder, IndexConf}
+import graft.ops._
+import graft.query.{QueryEngine, QuerySpec, Subquery}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle in
+  * [[oracleSql]] where SQL can express it. Entries without oracle SQL
+  * (engine-internal / approximate ops) get the driver's rows-only check.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: BM25 retrieval over the documents table (sf0.001). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TextOps.bm25TopK(docs(spark, "/root/testdata/sf0.001"), Seq("spark", "query", "window"), 10)
+
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- scans / filters / stats (S2, S3) ------------------------------------
+    "q1_agg" -> ((s, dir) =>
+      tbl(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus").agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(expr("l_extendedprice * (1 - l_discount)")), 2).as("sum_disc_price"),
+        count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "s2_scan_filter" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(expr("l_shipdate >= timestamp'1995-01-01 00:00:00' AND l_quantity < 10"))
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))),
+
+    "s3_journal_stats" -> ((s, dir) =>
+      tbl(s, dir, "events").agg(
+        max("user_id").as("max_user"),
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))),
+
+    // -- joins (F2/F3 semi/anti = J1/J2 at DataFrame level, J5 broadcast) ----
+    "f2_semi_join" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    "f3_anti_join" -> ((s, dir) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    "f7_meta_filter" -> ((s, dir) => RelationalOps.metaFilter(docs(s, dir))),
+
+    "j5_broadcast_join" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")),
+
+    "j6_pagerank" -> ((s, dir) => RelationalOps.pageRank(tbl(s, dir, "events"), 50, 3)),
+
+    // -- window aggregations (A2 prefix sum, A8 per-group top-k) -------------
+    "a2_window_prefix_sum" -> ((s, dir) =>
+      tbl(s, dir, "orders").select(col("o_orderkey"),
+        round(sum("o_totalprice").over(
+          Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("cum"))
+        .orderBy("o_orderkey")),
+
+    "a8_topk_per_group" -> ((s, dir) =>
+      docs(s, dir).select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(Window.partitionBy("lang")
+          .orderBy(col("n_chars").desc, col("doc_id"))).as("rn"))
+        .where(col("rn") <= 3).orderBy("lang", "rn")),
+
+    // -- sorts / limits / set ops (O3, U1, U2) -------------------------------
+    "o3_global_topk" -> ((s, dir) =>
+      tbl(s, dir, "orders").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100).select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))),
+
+    "u1_union_distinct" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def having(t: String) = d.where(array_contains(split(col("text"), " "), t)).select("doc_id")
+      having("spark").union(having("dup")).distinct().orderBy("doc_id")
+    }),
+
+    "u2_intersect" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def having(t: String) = d.where(array_contains(split(col("text"), " "), t)).select("doc_id")
+      having("spark").intersect(having("window")).orderBy("doc_id")
+    }),
+
+    // -- fulltext chain (A4 tf, A1 df, A5 tf-idf, C6/R1 BM25, Q7, R3) --------
+    "a4_term_tf" -> ((s, dir) => TextOps.termTf(docs(s, dir)).orderBy("doc_id", "term")),
+    "a1_term_df" -> ((s, dir) => TextOps.termDf(docs(s, dir)).orderBy("term")),
+    "a5_tfidf" -> ((s, dir) => TextOps.tfidf(docs(s, dir)).orderBy("doc_id", "term")),
+
+    "q_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), Seq("spark", "query", "window"), 50)),
+
+    "q_conj_not" -> ((s, dir) =>
+      TextOps.conjunctiveQuery(docs(s, dir), Seq("spark", "query"), Seq("dup"), 50)),
+
+    "q_disjunction" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val s1 = TextOps.bm25TopK(d, Seq("spark", "query"), Int.MaxValue)
+        .withColumnRenamed("score", "s1")
+      val s2 = TextOps.bm25TopK(d, Seq("window", "dup"), Int.MaxValue)
+        .withColumnRenamed("score", "s2")
+      s1.join(s2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), greatest(
+          coalesce(col("s1"), lit(-1e9)), coalesce(col("s2"), lit(-1e9))).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+    }),
+
+    "q_phrase" -> ((s, dir) => TextOps.phraseMatch(docs(s, dir), "batch", "batch")),
+
+    "q_synthetic_filter" -> ((s, dir) =>
+      TextOps.bm25TopK(docs(s, dir), Seq("spark", "query"), 50, col("lang") === "en")),
+
+    "q_prio_stratified" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.bm25TopK(d, Seq("query"), Int.MaxValue)
+        .join(d.select(col("doc_id"),
+          array_contains(split(col("text"), " "), "spark").cast("int").as("has_prio")), "doc_id")
+        .orderBy(col("has_prio").desc, col("score").desc, col("doc_id"))
+        .limit(50).select("doc_id", "has_prio", "score")
+    }),
+
+    // -- dedup (C9 generalized: exact, MinHash+LSH, SimHash, Jaccard) --------
+    "d1_dedup_exact" -> ((s, dir) => DedupOps.exactDups(docs(s, dir))),
+    "d2_minhash_sig" -> ((s, dir) => DedupOps.minhashSignatures(docs(s, dir))),
+    "d2b_lsh_pairs" -> ((s, dir) => DedupOps.lshCandidatePairs(docs(s, dir))),
+    "d3_simhash" -> ((s, dir) => DedupOps.simhash16(docs(s, dir))),
+    "d4_jaccard_pairs" -> ((s, dir) => DedupOps.jaccardPairs(docs(s, dir), 100L, 0.8)),
+
+    // -- similarity search over embeddings -----------------------------------
+    "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
+    "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
+    "v3_lsh_bucket" -> ((s, dir) => VectorOps.lshBuckets(emb(s, dir))),
+    "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)), // rows-only
+
+    // -- text analysis (T1-T4) ------------------------------------------------
+    "t1_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
+    "t2_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
+    "t3_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
+    "t4_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+
+    // -- multimodal plumbing (stubbed decode) --------------------------------
+    "mm1_decode_stub" -> ((s, dir) =>
+      MultiModalOps.decodeMeta(s, docs(s, dir)).toDF().orderBy("doc_id")),
+
+    // -- the snapshot index engine itself (rows-only: binary/block formats) --
+    "e1_index_build" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val corpus = docs(s, dir).select(
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        md5(col("text")).as("commit"), col("lang"), col("text").as("content"))
+        .as[CorpusDoc]
+      IndexBuilder.buildFromCorpus(s, corpus.toDF(), root, "snap-1",
+        IndexConf(numBuckets = 16, docRangeShift = 8))
+      s.read.parquet(s"$root/snapshots/snap-1/term_stats")
+        .orderBy(col("df_full").desc, col("term_hash")).limit(100)
+    }),
+
+    "e2_engine_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val corpus = docs(s, dir).select(
+        col("source").as("repo"),
+        concat(lit("doc/"), col("doc_id")).as("path"),
+        md5(col("text")).as("commit"), col("lang"), col("text").as("content"))
+        .as[CorpusDoc]
+      IndexBuilder.buildFromCorpus(s, corpus.toDF(), root, "snap-1",
+        IndexConf(numBuckets = 16, docRangeShift = 8))
+      val idx = QueryEngine.open(root)
+      QueryEngine.searchDF(s, idx, QuerySpec(
+        subqueries = Seq(Subquery(include = Seq("spark", "query"))),
+        limitByDomain = 100, limitTotal = 50))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+
+  /** Tokenization CTE shared by the text oracles (DuckDB dialect). */
+  private val TokCte =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"""
+  private val TokPosCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |p AS (SELECT doc_id, i, toks[i] AS term FROM d CROSS JOIN generate_series(1, 8192) AS t(i)
+      |      WHERE i <= len(toks))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "s2_scan_filter" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00' AND l_quantity < 10""".stripMargin,
+
+    "s3_journal_stats" ->
+      "SELECT max(user_id) AS max_user, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
+
+    "f2_semi_join" ->
+      """SELECT c_custkey FROM customer WHERE EXISTS
+        |(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+
+    "f3_anti_join" ->
+      """SELECT c_custkey FROM customer WHERE NOT EXISTS
+        |(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey""".stripMargin,
+
+    "f7_meta_filter" ->
+      """SELECT doc_id, ((n_chars % 256) << 8) + (doc_id % 256) AS meta,
+        |((((n_chars % 256) << 8) + (doc_id % 256)) >> 8) & 255 AS quality,
+        |(((n_chars % 256) << 8) + (doc_id % 256)) & 255 AS ybyte
+        |FROM documents WHERE (((((n_chars % 256) << 8) + (doc_id % 256)) >> 8) & 255) BETWEEN 50 AND 200
+        |ORDER BY doc_id""".stripMargin,
+
+    "j5_broadcast_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j6_pagerank" -> RelationalOps.pageRankOracleSql(50, 3),
+
+    "a2_window_prefix_sum" ->
+      """SELECT o_orderkey, round(sum(o_totalprice) OVER
+        |(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "a8_topk_per_group" ->
+      """SELECT lang, doc_id, n_chars, rn FROM (
+        |SELECT lang, doc_id, n_chars, row_number() OVER
+        |(PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn FROM documents) t
+        |WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+
+    "o3_global_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "u1_union_distinct" ->
+      """SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% spark %'
+        |UNION SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% dup %'
+        |ORDER BY doc_id""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% spark %'
+        |INTERSECT SELECT doc_id FROM documents WHERE ' ' || text || ' ' LIKE '% window %'
+        |ORDER BY doc_id""".stripMargin,
+
+    "a4_term_tf" ->
+      s"""WITH $TokCte
+         |SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> ''
+         |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+
+    "a1_term_df" ->
+      s"""WITH $TokCte, tf AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term)
+         |SELECT term, count(*) AS df FROM tf GROUP BY term ORDER BY term""".stripMargin,
+
+    "a5_tfidf" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |mx AS (SELECT doc_id, max(tf) AS max_tf FROM tf GROUP BY doc_id),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents)
+         |SELECT doc_id, term, tf,
+         |round((CAST(0.1 AS DOUBLE) + CAST(0.9 AS DOUBLE) * tf / max_tf) * ln(CAST(n AS DOUBLE) / df), 5) AS tfidf
+         |FROM tf JOIN mx USING (doc_id) JOIN df USING (term) CROSS JOIN n
+         |ORDER BY doc_id, term""".stripMargin,
+
+    "q_bm25_topk" -> TextOps.bm25OracleSql(Seq("spark", "query", "window"), 50),
+
+    "q_conj_not" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' AND term IN ('spark', 'query') GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, round(sum(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |    * (tf * (CAST(1.2 AS DOUBLE) + 1)) / (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / CAST(20.0 AS DOUBLE)))), 4) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n GROUP BY doc_id
+         |  HAVING count(DISTINCT term) = 2)
+         |SELECT doc_id, score FROM scored s
+         |WHERE NOT EXISTS (SELECT 1 FROM tok t WHERE t.doc_id = s.doc_id AND t.term = 'dup')
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q_disjunction" -> {
+      def body(terms: Seq[String]) = {
+        val inList = terms.map(t => s"'$t'").mkString(", ")
+        s"""SELECT doc_id, round(sum(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+           |  * (tf * (CAST(1.2 AS DOUBLE) + 1)) / (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / CAST(20.0 AS DOUBLE)))), 4) AS score
+           |FROM (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' AND term IN ($inList) GROUP BY doc_id, term) tf
+           |JOIN (SELECT term, count(*) AS df FROM (SELECT doc_id, term FROM tok WHERE term <> '' AND term IN ($inList) GROUP BY doc_id, term) x GROUP BY term) df USING (term)
+           |JOIN dl USING (doc_id) CROSS JOIN n GROUP BY doc_id""".stripMargin
+      }
+      s"""WITH $TokCte,
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s1 AS (${body(Seq("spark", "query"))}),
+         |s2 AS (${body(Seq("window", "dup"))})
+         |SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         |greatest(coalesce(s1.score, CAST(-1e9 AS DOUBLE)), coalesce(s2.score, CAST(-1e9 AS DOUBLE))) AS score
+         |FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+         |ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
+
+    "q_phrase" ->
+      s"""WITH $TokPosCte
+         |SELECT DISTINCT p.doc_id AS doc_id FROM p JOIN p q ON q.doc_id = p.doc_id AND q.i = p.i + 1
+         |WHERE p.term = 'batch' AND q.term = 'batch' ORDER BY 1""".stripMargin,
+
+    "q_synthetic_filter" -> TextOps.bm25OracleSql(Seq("spark", "query"), 50, "lang = 'en'"),
+
+    "q_prio_stratified" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' AND term = 'query' GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, round(sum(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+         |  * (tf * (CAST(1.2 AS DOUBLE) + 1)) / (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / CAST(20.0 AS DOUBLE)))), 4) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n GROUP BY doc_id)
+         |SELECT s.doc_id AS doc_id, CASE WHEN ' ' || d2.text || ' ' LIKE '% spark %' THEN 1 ELSE 0 END AS has_prio, s.score AS score
+         |FROM scored s JOIN documents d2 ON d2.doc_id = s.doc_id
+         |ORDER BY 2 DESC, 3 DESC, 1 LIMIT 50""".stripMargin,
+
+    "d1_dedup_exact" ->
+      "SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) AS keep_id FROM documents GROUP BY md5(text) ORDER BY h",
+
+    "d2_minhash_sig" -> {
+      val mins = DedupOps.Perms.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * h + $b) % ${DedupOps.MinHashP}) AS mh$j"
+      }.mkString(", ")
+      s"""WITH $TokPosCte,
+         |sh AS (SELECT p.doc_id AS doc_id,
+         |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
+         |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
+         |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2)
+         |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "d2b_lsh_pairs" -> {
+      val mins = DedupOps.Perms.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * h + $b) % ${DedupOps.MinHashP}) AS mh$j"
+      }.mkString(", ")
+      s"""WITH $TokPosCte,
+         |sh AS (SELECT p.doc_id AS doc_id,
+         |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
+         |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
+         |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2),
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 * 31 + mh1 AS v FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "d3_simhash" ->
+      s"""WITH $TokCte,
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |th AS (SELECT doc_id, tf, ('0x' || substring(md5(term), 1, 15))::BIGINT % 1073741824 AS h FROM tf),
+         |bits AS (SELECT doc_id, b, sum(tf * (2 * ((h >> b) & 1) - 1)) AS s
+         |  FROM th CROSS JOIN generate_series(0, 15) AS g(b) GROUP BY doc_id, b)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d4_jaccard_pairs" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT DISTINCT doc_id, term FROM tok WHERE term <> '' AND doc_id < 100),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM t a JOIN t b ON a.term = b.term AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+         |WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= CAST(0.8 AS DOUBLE)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "v1_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "v2_cosine_pairs" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.e, b.e), 4) AS cos
+        |FROM s a JOIN s b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE)
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "v3_lsh_bucket" -> {
+      val planes = (0 until 4).map { j =>
+        val w = VectorOps.hyperplaneWeights(64, j)
+          .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, CAST($planes AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
+    },
+
+    "t1_langid" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH $TokCte,
+         |st AS (SELECT doc_id, count(*) AS n_tok,
+         |  sum(CASE WHEN term IN ($stops) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok WHERE term <> '' GROUP BY doc_id)
+         |SELECT doc_id,
+         |CASE WHEN n_stop / CAST(n_tok AS DOUBLE) > CAST(0.02 AS DOUBLE) THEN 'en' ELSE 'und' END AS pred_lang,
+         |round(n_stop / CAST(n_tok AS DOUBLE), 6) AS en_ratio
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    "t2_quality" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH $TokCte,
+         |st AS (SELECT doc_id, count(*) AS n_tok, sum(length(term)) AS sum_len,
+         |  sum(CASE WHEN term IN ($stops) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok WHERE term <> '' GROUP BY doc_id)
+         |SELECT doc_id, n_tok,
+         |round(sum_len / CAST(n_tok AS DOUBLE), 6) AS avg_tok_len,
+         |round(n_stop / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+         |round(CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tok AS DOUBLE))
+         |  + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+         |  + (CASE WHEN sum_len / CAST(n_tok AS DOUBLE) BETWEEN 3 AND 8 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS quality
+         |FROM st ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_token_stats" ->
+      s"""WITH $TokCte,
+         |st AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_distinct
+         |  FROM tok WHERE term <> '' GROUP BY doc_id)
+         |SELECT st.doc_id, n_tok, n_distinct,
+         |CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_runs
+         |FROM st JOIN documents USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""WITH $TokPosCte
+         |SELECT doc_id, CAST(sum((('0x' || substring(md5(term), 1, 15))::BIGINT % 1073741824) * ((i % 64) + 1)) % 2147483647 AS BIGINT) AS fp
+         |FROM p WHERE term <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mm1_decode_stub" ->
+      """SELECT doc_id, length(text)::BIGINT AS byte_len,
+        |(length(text)::BIGINT % 640) + 16 AS width,
+        |(length(text)::BIGINT * 7 % 480) + 16 AS height,
+        |(length(text)::BIGINT // 256) + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

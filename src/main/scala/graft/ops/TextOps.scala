@@ -1,0 +1,189 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational text-analysis operators over a `documents(doc_id, text, lang,
+  * source, n_chars)` table — the tokenize → tf → df → TF-IDF → BM25 chain of
+  * the index pipeline (SURVEY §2.4 A1/A4/A5, §2.7 C6) expressed declaratively
+  * so Catalyst owns the physical plan, plus language-ID / quality / token
+  * statistics / fingerprinting for training-data curation.
+  *
+  * Every operator here is DuckDB-oracle-checkable: the math sticks to
+  * engine-portable primitives (md5-derived 30-bit hashes, explicit double
+  * literals, deterministic ORDER BY).
+  *
+  * Scale notes: tokenization is a narrow map (no shuffle); tf/df are
+  * map-side-combined hash aggregations keyed by (doc,term) / term; at 100 TB
+  * the only wide exchanges are those aggregations, which partition evenly
+  * because term skew is bounded by the per-doc dedup of `df`.
+  */
+object TextOps {
+
+  /** Portable 60-bit hash: identical in Spark and DuckDB.
+    * Spark: conv(substring(md5(s),1,15),16,10)  ≡  DuckDB: ('0x'||substring(md5(s),1,15))::BIGINT */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** 30-bit variant — small enough that products with ≤2^20 multipliers never
+    * overflow a signed 64-bit int (DuckDB errors on overflow; Spark wraps). */
+  def h30(c: Column): Column = h60(c) % 1073741824L
+
+  /** One row per non-empty whitespace token. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+
+  /** Tokens with 1-based position `i` over the RAW split array (empty tokens
+    * hold their position — mirrors DuckDB `toks[i]`). */
+  def tokensPos(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "term")))
+      .withColumn("i", col("pos0") + 1).drop("pos0")
+
+  /** A4: per-(doc, term) frequency. */
+  def termTf(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** A1/A6: document frequency per term. */
+  def termDf(docs: DataFrame): DataFrame =
+    termTf(docs).groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Doc length in non-empty tokens. */
+  def docLen(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("dl"))
+
+  /** A5: reference TF-IDF shape (WordsTfIdfCounts.java:113-137):
+    * (0.1 + 0.9·tf/maxTf) · ln(N/df). */
+  def tfidf(docs: DataFrame): DataFrame = {
+    val n = docs.select(count(lit(1)).as("n"))
+    val tf = termTf(docs)
+    val maxTf = tf.groupBy("doc_id").agg(max("tf").as("max_tf"))
+    tf.join(maxTf, "doc_id")
+      .join(termDf(docs), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        expr("(0.1D + 0.9D * tf / max_tf) * ln(cast(n as double) / df)"), 5))
+      .select("doc_id", "term", "tf", "tfidf")
+  }
+
+  final val Bm25K = 1.2
+  final val Bm25B = 0.75
+  final val AvgDl = 20.0 // fixed norm constant for the relational surface
+
+  /** C6/R1: BM25 scores of `queryTerms`, top `k` docs.
+    * Classic BM25 with (k1=1.2, b=0.75) per the north_star's stated relational
+    * parameters; the snapshot engine (graft.query.Scoring) keeps the
+    * reference's own (1.2, 0.5) chain for rank-identity. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               extraFilter: Column = lit(true)): DataFrame = {
+    val base = docs.where(extraFilter)
+    val n = base.select(count(lit(1)).as("n"))
+    val tf = termTf(base).where(col("term").isin(queryTerms: _*))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(docLen(base), "doc_id")
+      .crossJoin(broadcast(n))
+      .withColumn("s", expr(
+        s"ln(1D + (cast(n as double) - df + 0.5D) / (df + 0.5D))" +
+          s" * (tf * (${Bm25K}D + 1D)) / (tf + ${Bm25K}D * (1D - ${Bm25B}D + ${Bm25B}D * dl / ${AvgDl}D))"))
+      .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Oracle-SQL body shared by the BM25-family queries (DuckDB dialect). */
+  def bm25OracleSql(terms: Seq[String], k: Int, where: String = "TRUE"): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH base AS (SELECT * FROM documents WHERE $where),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' AND term IN ($inList) GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok WHERE term <> '' GROUP BY doc_id),
+       |n AS (SELECT count(*) AS n FROM base)
+       |SELECT doc_id, round(sum(ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5))
+       |  * (tf * (CAST(${Bm25K} AS DOUBLE) + 1)) / (tf + CAST(${Bm25K} AS DOUBLE) * (1 - CAST(${Bm25B} AS DOUBLE) + CAST(${Bm25B} AS DOUBLE) * dl / CAST(${AvgDl} AS DOUBLE)))), 4) AS score
+       |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN n
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  /** Q7/J1-J2 relational form: docs containing ALL of `include` and NONE of
+    * `exclude`, BM25-scored over the includes (conjunction = semi joins,
+    * exclusion = anti join — the posting-intersection semantics of
+    * BTreeReader.retainEntries/rejectEntries at DataFrame level). */
+  def conjunctiveQuery(docs: DataFrame, include: Seq[String], exclude: Seq[String], k: Int): DataFrame = {
+    val toks = tokens(docs)
+    val matching = include.map(t => toks.where(col("term") === t).select("doc_id").distinct())
+      .reduce((a, b) => a.join(b, Seq("doc_id"), "left_semi"))
+    val excluded = exclude.foldLeft(matching) { (acc, t) =>
+      acc.join(toks.where(col("term") === t).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+    }
+    bm25TopK(docs, include, Int.MaxValue)
+      .join(excluded, Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Phrase match via positions: docs where `w1` is immediately followed by
+    * `w2` (the coherence/position-mask analog, SURVEY §2.10 R3 / K4). */
+  def phraseMatch(docs: DataFrame, w1: String, w2: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    tokensPos(docs)
+      .withColumn("nxt", lead("term", 1).over(w))
+      .where(col("term") === w1 && col("nxt") === w2)
+      .select("doc_id").distinct().orderBy("doc_id")
+  }
+
+  /** T1: stopword-ratio language ID (n-gram-heuristic analog). */
+  final val EnStopwords = Seq("the", "a", "of", "and", "is")
+  def langId(docs: DataFrame): DataFrame = {
+    val stops = EnStopwords
+    tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("term").isin(stops: _*), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("en_ratio", round(expr("n_stop / cast(n_tok as double)"), 6))
+      .withColumn("pred_lang", when(expr("n_stop / cast(n_tok as double)") > 0.02, "en").otherwise("und"))
+      .select("doc_id", "pred_lang", "en_ratio")
+      .orderBy("doc_id")
+  }
+
+  /** T2: quality scoring from length / stopword / token-shape ratios
+    * (DocumentValuator.java:16-48 analog for plain text). */
+  def quality(docs: DataFrame): DataFrame =
+    tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(length(col("term"))).as("sum_len"),
+        sum(when(col("term").isin(EnStopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("avg_tok_len", round(expr("sum_len / cast(n_tok as double)"), 6))
+      .withColumn("stop_ratio", round(expr("n_stop / cast(n_tok as double)"), 6))
+      .withColumn("quality", round(expr(
+        "0.5D * (n_stop / cast(n_tok as double))" +
+          " + 0.3D * least(cast(1.0 as double), n_tok / cast(100.0 as double))" +
+          " + (CASE WHEN sum_len / cast(n_tok as double) BETWEEN 3 AND 8 THEN 0.2D ELSE 0D END)"), 6))
+      .select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "quality")
+      .orderBy("doc_id")
+
+  /** T3: token counting — whitespace tokens, distinct terms, regex word runs
+    * (the BPE-ish pre-token count). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("term")).as("n_distinct"))
+      .join(docs.select(col("doc_id"),
+        regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_runs")), "doc_id")
+      .select("doc_id", "n_tok", "n_distinct", "n_runs")
+      .orderBy("doc_id")
+
+  /** T4: positional rolling-hash document fingerprint:
+    * Σ h30(term)·((i mod 64)+1)  mod  2^31−1  over non-empty positions. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    tokensPos(docs).where(col("term") =!= "")
+      .withColumn("h", h30(col("term")))
+      .groupBy("doc_id")
+      .agg((sum(col("h") * (col("i") % 64 + 1)) % 2147483647L).as("fp"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`embeddings(vec_id,
+  * embedding array<float>, label)`): brute-force cosine top-k as the exact
+  * baseline, LSH sign-bucketing and an IVF-style coarse quantizer as the
+  * scale paths.
+  *
+  * Dot products run in double via `zip_with` + `aggregate` (codegen'd
+  * higher-order functions — no UDF), summed left-to-right so the result is
+  * bit-deterministic and matches DuckDB's sequential list kernels.
+  *
+  * Scale notes: brute-force against one query vector is a narrow map + global
+  * top-k (tournament via `orderBy.limit` — Spark's TakeOrderedAndProject, no
+  * full sort). All-pairs is never materialized: LSH buckets or IVF cells
+  * bound the join fan-out; both shuffle only (bucket → members), sized by
+  * cluster occupancy, not corpus².
+  */
+object VectorOps {
+
+  /** dot(a, b) in double, sequential sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against the embedding of `queryId`. */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"))
+    emb.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** All near pairs among vec_id < idBound with cosine ≥ threshold
+    * (embedding-cosine near-dup detection). */
+  def cosinePairs(emb: DataFrame, idBound: Long, threshold: Double): DataFrame = {
+    val sub = emb.where(col("vec_id") < idBound).select("vec_id", "embedding")
+    val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Deterministic integer hyperplane j over dimension d: ((d·(j+2)+1) mod 7) − 3.
+    * Integer weights keep the projection exactly representable in double. */
+  def hyperplaneWeights(dim: Int, j: Int): Seq[Double] =
+    (0 until dim).map(d => (((d * (j + 2) + 1) % 7) - 3).toDouble)
+
+  /** LSH sign-bucket per vector: bit j = [dot(e, w_j) > 0], 4 planes →
+    * 16 buckets. Query-time ANN probes only its own bucket. */
+  def lshBuckets(emb: DataFrame, planes: Int = 4): DataFrame = {
+    val dim = 64
+    val bucket = (0 until planes).map { j =>
+      val w = array(hyperplaneWeights(dim, j).map(lit): _*)
+      when(dot(col("embedding"), w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
+  }
+
+  /** IVF-style coarse index: cells = LSH buckets (a deterministic stand-in
+    * for k-means centroids — no iterative training, same probe structure).
+    * Returns top-k of `queryId` probing only vectors in the query's cell.
+    * Not SQL-oracled (rows-only check): approximate by construction. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val withB = emb.join(lshBuckets(emb), "vec_id")
+    val qb = withB.where(col("vec_id") === queryId)
+      .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
+    withB.crossJoin(broadcast(qb))
+      .where(col("bucket") === col("q_bucket") && col("vec_id") =!= queryId)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}
