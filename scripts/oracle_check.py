@@ -24,6 +24,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 ok, bad, weak = [], [], []
 for path in sorted(glob.glob(os.path.join(out_dir, "*"))):
     name = os.path.basename(path)
+    if name.endswith(".parquet"):
+        name = name[:-len(".parquet")]
     if not os.path.isdir(path):
         continue
     spark_df = pd.concat([pd.read_parquet(p) for p in glob.glob(path + "/*.parquet")]) \

@@ -114,6 +114,32 @@ object PostingCodec {
   /** Posting count without full decode (header read only). */
   def count(bytes: Array[Byte]): Int = new Reader(bytes).readVarLong().toInt
 
+  /** Seek-scan membership: does the list contain docId? Decodes at most one
+    * 128-posting group via the skip index (needed where meta 0L is a stored
+    * value — the priority tier stores all-zero metas). */
+  def containsDoc(bytes: Array[Byte], skip: SkipIndex, docId: Long): Boolean = {
+    if (skip.docIds.isEmpty || docId < skip.docIds(0)) return false
+    var lo = 0
+    var hi = skip.docIds.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (skip.docIds(mid) <= docId) lo = mid else hi = mid - 1
+    }
+    val total = count(bytes)
+    val r = new Reader(bytes, skip.offsets(lo))
+    val end = math.min(total, (lo + 1) * SkipInterval)
+    var prevDoc = 0L
+    var i = lo * SkipInterval
+    while (i < end) {
+      prevDoc += r.readVarLong()
+      r.readVarLong() // skip meta delta
+      if (prevDoc == docId) return true
+      if (prevDoc > docId) return false
+      i += 1
+    }
+    false
+  }
+
   /** Seek-scan: meta for a given docId, decoding at most one 128-posting
     * group. Returns 0L when absent (the reference's hash-map default —
     * IndexMetadataService.TermMetadata.getTermMetadata). */

@@ -37,7 +37,9 @@ final case class Subquery(
     advice: Seq[String] = Nil,
     coherences: Seq[Seq[String]] = Nil)
 
-/** Full query spec (reference SearchSpecification subset). */
+/** Full query spec (reference SearchSpecification subset).
+  * `pruning` toggles block-max WAND range skipping (exact either way — the
+  * toggle exists so tests can assert pruned == unpruned). */
 final case class QuerySpec(
     subqueries: Seq[Subquery],
     domains: Seq[Int] = Nil,
@@ -47,7 +49,8 @@ final case class QuerySpec(
     rank: SpecLimit = SpecLimit.none,
     limitByDomain: Int = 10,
     limitTotal: Int = 10,
-    params: RankingParams = RankingParams())
+    params: RankingParams = RankingParams(),
+    pruning: Boolean = true)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -68,14 +71,20 @@ final case class SearchResult(
   *      SearchIndex.compareKeywords:159-171)
   *   3. one shuffle of those blocks by docRange co-locates every term's
   *      postings for the same doc range with the forward block
-  *   4. mapPartitions kernel: galloping sorted intersection (J1), merge
-  *      exclusion (J2), metadata filter (F7), exact scoring (R1-R9), and
-  *      per-partition top-k with block-max WAND pruning
-  *   5. tiny collect of per-partition top-k; final comparator + per-domain
-  *      cap (A8/O3) on the driver.
+  *   4. mapPartitions kernel: block-max WAND over doc ranges — ranges whose
+  *      score upper bound (from per-block max position counts + the range's
+  *      domain rank) cannot beat the partition's current capped top-k are
+  *      skipped without decoding; surviving ranges run galloping sorted
+  *      intersection (J1) with skip-pointer group decode, merge exclusion
+  *      (J2), metadata filter (F7), and exact scoring (R1-R9)
+  *   5. tiny collect of per-partition capped top sets; final comparator +
+  *      per-domain cap (A8/O3) on the driver.
   *
   * At 1000-executor scale the only data motion is the query's own posting
-  * blocks (a few MB for typical terms) — never the corpus.
+  * blocks (a few MB for typical terms) — never the corpus. Ranges arrive
+  * rank-sorted (doc_range ascending = best domain rank first), so the WAND
+  * threshold tightens early, mirroring the reference's rank-encoded posting
+  * order (ReverseIndexFullConverter.java:160-182).
   */
 object QueryEngine {
 
@@ -133,14 +142,19 @@ object QueryEngine {
     if (ranges.isEmpty) return Nil
 
     val prunedPostings = postings.where($"doc_range".isin(ranges.toSeq: _*))
-      .select($"term_hash", $"doc_range", $"n", $"max_pos_count", $"blob")
+      .select($"term_hash", $"doc_range", $"n", $"max_pos_count",
+        $"blob", $"skip_docs", $"skip_offs",
+        lit(null).cast("binary").as("blob_domain"),
+        lit(null).cast("array<bigint>").as("dom_skip_docs"),
+        lit(null).cast("array<int>").as("dom_skip_offs"))
     val fwd = spark.read.parquet(s"${index.dir}/fwd")
       .where($"doc_range".isin(ranges.toSeq: _*))
       .select(lit(0L).as("term_hash"), $"doc_range", $"n",
-        lit(-1).as("max_pos_count"), $"blob_meta".as("blob"),
-        $"blob_domain")
-    val tagged = prunedPostings.withColumn("blob_domain", lit(null).cast("binary"))
-      .unionByName(fwd)
+        lit(-1).as("max_pos_count"),
+        $"blob_meta".as("blob"), $"meta_skip_docs".as("skip_docs"),
+        $"meta_skip_offs".as("skip_offs"),
+        $"blob_domain", $"dom_skip_docs", $"dom_skip_offs")
+    val tagged = prunedPostings.unionByName(fwd)
 
     // ---- broadcast the tiny query plan to the kernel ------------------------
     val bSpec = spark.sparkContext.broadcast(KernelSpec(
@@ -154,10 +168,12 @@ object QueryEngine {
         coherences = sq.coherences.map(_.map(termHash)))),
       domains = spec.domains.toSet,
       year = spec.year, quality = spec.quality, size = spec.size, rank = spec.rank,
-      limitPerPartition = spec.limitTotal * math.max(4, spec.subqueries.size * 2),
+      limitTotal = spec.limitTotal,
       limitByDomain = spec.limitByDomain,
       params = spec.params,
-      docCount = docCount))
+      docCount = docCount,
+      docRangeShift = index.manifest.docRangeShift,
+      pruning = spec.pruning))
 
     // ---- kernel: one shuffle by doc_range, then per-range evaluation --------
     val candidates = tagged
@@ -203,72 +219,238 @@ final case class KernelSpec(
     subqueries: Seq[KernelSubquery],
     domains: Set[Int],
     year: SpecLimit, quality: SpecLimit, size: SpecLimit, rank: SpecLimit,
-    limitPerPartition: Int,
+    limitTotal: Int,
     limitByDomain: Int,
     params: RankingParams,
-    docCount: Long)
+    docCount: Long,
+    docRangeShift: Int,
+    pruning: Boolean)
 
 final case class Candidate(urlId: Int, domainId: Int, ranking: Int,
                            hasPrio: Boolean, score: Double)
 
-/** Per-partition evaluation: decode blocks per doc range, intersect, filter,
-  * score, keep a bounded top set. */
+/** Per-partition evaluation: block-max WAND over doc ranges; surviving ranges
+  * are intersected with skip-pointer group decode, filtered, and scored. */
 object QueryKernel {
   import org.apache.spark.sql.Row
 
+  /** One encoded block inside a range, decoded lazily: membership / meta
+    * lookups seek via the skip index and decode a single 128-posting group
+    * (the reference's B-tree page reads, BTreeReader.java:52-71); the full
+    * decode happens only when the block drives the intersection. */
+  final class Block(val n: Int, val maxPosCount: Int, blob: Array[Byte],
+                    skip: PostingCodec.SkipIndex) {
+    private[this] var fullDecoded: PostingCodec.Postings = null
+    def full: PostingCodec.Postings = {
+      if (fullDecoded == null) fullDecoded = PostingCodec.decode(blob)
+      fullDecoded
+    }
+    def contains(doc: Long): Boolean =
+      if (fullDecoded != null) java.util.Arrays.binarySearch(fullDecoded.docIds, doc) >= 0
+      else PostingCodec.containsDoc(blob, skip, doc)
+    def meta(doc: Long): Long =
+      if (fullDecoded != null) {
+        val i = java.util.Arrays.binarySearch(fullDecoded.docIds, doc)
+        if (i >= 0) fullDecoded.metas(i) else 0L
+      } else PostingCodec.lookup(blob, skip, doc)
+    /** Merge with another block of the same (term, range) — only reachable if
+      * a future layout salts within a range; decodes both. */
+    def merged(other: Block): Block = {
+      val a = full; val b = other.full
+      val n2 = a.length + b.length
+      val docs = new Array[Long](n2); val metas = new Array[Long](n2)
+      var i = 0; var j = 0; var k = 0
+      while (i < a.length && j < b.length) {
+        if (a.docIds(i) <= b.docIds(j)) { docs(k) = a.docIds(i); metas(k) = a.metas(i); i += 1 }
+        else { docs(k) = b.docIds(j); metas(k) = b.metas(j); j += 1 }
+        k += 1
+      }
+      while (i < a.length) { docs(k) = a.docIds(i); metas(k) = a.metas(i); i += 1; k += 1 }
+      while (j < b.length) { docs(k) = b.docIds(j); metas(k) = b.metas(j); j += 1; k += 1 }
+      val (blob2, skip2) = PostingCodec.encode(docs, metas)
+      val m = new Block(n2, math.max(maxPosCount, other.maxPosCount), blob2, skip2)
+      m
+    }
+  }
+
+  /** Partition-local running selection: candidates ordered by the reference
+    * comparator with the per-domain cap applied greedily (a partition-matroid
+    * greedy — adding candidates can only improve the kept set, so the WAND
+    * threshold derived from it is monotonically tightening and skip decisions
+    * are final-safe). */
+  final class Selection(limitTotal: Int, limitByDomain: Int) {
+    val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    private var dirty = false
+    private var cachedThreshold = Double.PositiveInfinity
+
+    def add(c: Candidate): Unit = { all += c; dirty = true }
+
+    /** Worst score a new NON-priority candidate must strictly beat to have any
+      * chance of entering the final global top-k:
+      *   +inf  — selection not yet full (never skip);
+      *   s     — the limitTotal-th capped member's score (it is non-prio if
+      *           any non-prio member is in the top; prio members outrank all
+      *           non-prio candidates unconditionally);
+      *   -inf  — top is entirely priority-hit (no non-prio can enter: skip
+      *           every range without priority-term postings).
+      */
+    def nonPrioThreshold: Double = {
+      if (!dirty) return cachedThreshold
+      dirty = false
+      val ordered = all.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
+      val perDomain = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+      var kept = 0
+      var last: Candidate = null
+      val it = ordered.iterator
+      while (it.hasNext && kept < limitTotal) {
+        val c = it.next()
+        if (perDomain(c.domainId) < limitByDomain) {
+          perDomain(c.domainId) += 1; kept += 1; last = c
+        }
+      }
+      cachedThreshold =
+        if (kept < limitTotal) Double.PositiveInfinity
+        else if (last.hasPrio) Double.NegativeInfinity
+        else last.score
+      cachedThreshold
+    }
+
+    /** Emission: per domain only the local best `limitByDomain` can survive
+      * the global cap, so dropping the rest is exact for selection.
+      * results_from_domain counts beyond the cap are therefore clamped — the
+      * reference counts the full candidate list (IndexQueryService:252-282),
+      * which doesn't distribute; documented. */
+    def emit(): Iterator[Candidate] = {
+      val byScore = all.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
+      val perDomain = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+      val keep = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+      byScore.foreach { c =>
+        if (perDomain(c.domainId) < limitByDomain) {
+          keep += c
+          perDomain(c.domainId) += 1
+        }
+      }
+      keep.iterator
+    }
+  }
+
   def evaluatePartition(spec: KernelSpec)(rows: Iterator[Row]): Iterator[Candidate] = {
-    // group rows by doc_range (input is sorted by doc_range)
-    val results = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    val sel = new Selection(spec.limitTotal, spec.limitByDomain)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     var curRange = Long.MinValue
     var first = true
-    def flush(): Unit = if (buf.nonEmpty) { evaluateRange(spec, buf.toSeq, results); buf.clear() }
+    def flush(): Unit = if (buf.nonEmpty) { evaluateRange(spec, buf.toSeq, curRange, sel); buf.clear() }
     rows.foreach { r =>
       val range = r.getLong(r.fieldIndex("doc_range"))
       if (first || range != curRange) { flush(); curRange = range; first = false }
       buf += r
     }
     flush()
-    // Bounded emission: per domain, only the local best `limitByDomain` can
-    // ever survive the global per-domain cap (the global count of better
-    // same-domain candidates is ≥ the local count), so dropping the rest is
-    // exact for selection. results_from_domain counts beyond the cap are
-    // therefore clamped — the reference counts the full candidate list
-    // (IndexQueryService:252-282), which doesn't distribute; documented.
-    val byScore = results.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
-    val perDomain = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    val keep = scala.collection.mutable.ArrayBuffer.empty[Candidate]
-    byScore.foreach { c =>
-      if (perDomain(c.domainId) < spec.limitByDomain) {
-        keep += c
-        perDomain(c.domainId) += 1
-      }
-    }
-    keep.iterator
+    sel.emit()
   }
 
-  private def evaluateRange(spec: KernelSpec, rows: Seq[Row],
-                            out: scala.collection.mutable.ArrayBuffer[Candidate]): Unit = {
-    // split fwd row (term_hash==0 sentinel with blob_domain != null) from postings
-    var fwdMeta: PostingCodec.Postings = null
-    var fwdDom: PostingCodec.Postings = null
-    val byTerm = scala.collection.mutable.Map.empty[Long, PostingCodec.Postings]
+  private def blockOf(r: Row): Block = {
+    val skips = PostingCodec.SkipIndex(
+      r.getAs[scala.collection.Seq[Long]]("skip_docs").toArray,
+      r.getAs[scala.collection.Seq[Int]]("skip_offs").toArray)
+    new Block(r.getInt(r.fieldIndex("n")), r.getInt(r.fieldIndex("max_pos_count")),
+      r.getAs[Array[Byte]]("blob"), skips)
+  }
+
+  /** Optimistic (never-under) bound on the best score any candidate in this
+    * range can reach for one VARIANT term set, from per-block max position
+    * counts and the range's domain rank (block-max WAND, the north rule's
+    * pruning operator; plays the role of the reference's fetchSize/time-budget
+    * early termination, IndexQueryExecutor.java:22-33, but deterministic).
+    *
+    * The valuator scores every candidate against every variant and takes the
+    * min (ResultValuator:90-103), with synthetic/`:`-terms dropped from the
+    * set, so the bound mirrors that exactly: terms absent from the range
+    * contribute 0 (their metas decode to 0 ⇒ bm25 count 0, prio flag count 0,
+    * coherence mask 0 ⇒ tcf 0), and setSize is the variant's regular-term
+    * count. The caller takes the min across variants; a candidate's true
+    * score also starts at 10.0 (ResultValuator default), hence the cap. */
+  private def variantBound(spec: KernelSpec, sq: KernelSubquery,
+                           byTerm: collection.Map[Long, Block], minRank: Int): Double = {
+    val p = spec.params
+    val regular = sq.include.filterNot(_.term.contains(":"))
+    if (regular.isEmpty) return 10.0
+    var raw = 0.0
+    var allPresent = true
+    regular.foreach { t =>
+      byTerm.get(t.hash) match {
+        case Some(b) =>
+          val c = b.maxPosCount.toDouble
+          if (c > 0)
+            raw += p.bm25FullWeight * Scoring.invFreq(spec.docCount, t.dfFull) *
+              Scoring.tfSat(p.fullParams.k, p.fullParams.b, c, 0)
+          // prio-tier part: ≤ bitCount(PrioBm25Mask)=5 flag bits can be set
+          raw += p.bm25PrioWeight * Scoring.invFreq(spec.docCount, t.dfPrio) *
+            Scoring.tfSat(p.prioParams.k, 0, 5.0, 0)
+        case None => allPresent = false // meta 0 ⇒ zero contribution, tcf dead
+      }
+    }
+    if (allPresent) raw += p.tcfWeight * 1.0              // tcf ≤ weight
+    raw += (255.0 - minRank) * p.domainRankBonus          // rank bonus at range's best
+    raw += math.log(256.0)                                // topology ≤ 255
+    math.min(10.0, Scoring.normalize(raw, regular.size))  // lower = better
+  }
+
+  private def evaluateRange(spec: KernelSpec, rows: Seq[Row], range: Long,
+                            sel: Selection): Unit = {
+    // the domain rank is constant within a range: rank_doc_id = (rank<<32)|url
+    // and doc_range = rank_doc_id >> shift with shift < 32
+    val minRank = (((range << spec.docRangeShift) >>> 32) & 0xFF).toInt
+
+    // split fwd row (blob_domain != null) from posting blocks — WITHOUT
+    // decoding anything yet
+    var fwdMeta: Block = null
+    var fwdDom: Block = null
+    val byTerm = scala.collection.mutable.Map.empty[Long, Block]
     rows.foreach { r =>
       val blobDomain = r.getAs[Array[Byte]]("blob_domain")
       if (blobDomain != null) {
-        fwdMeta = PostingCodec.decode(r.getAs[Array[Byte]]("blob"))
-        fwdDom = PostingCodec.decode(blobDomain)
+        fwdMeta = blockOf(r)
+        fwdDom = new Block(r.getInt(r.fieldIndex("n")), -1, blobDomain,
+          PostingCodec.SkipIndex(
+            r.getAs[scala.collection.Seq[Long]]("dom_skip_docs").toArray,
+            r.getAs[scala.collection.Seq[Int]]("dom_skip_offs").toArray))
       } else {
         val th = r.getLong(r.fieldIndex("term_hash"))
-        val p = PostingCodec.decode(r.getAs[Array[Byte]]("blob"))
+        val b = blockOf(r)
         byTerm.get(th) match {
-          case Some(prev) => // salted sub-blocks of one term within a range: merge
-            byTerm(th) = mergeSorted(prev, p)
-          case None => byTerm(th) = p
+          case Some(prev) => byTerm(th) = prev.merged(b)
+          case None       => byTerm(th) = b
         }
       }
     }
     if (fwdMeta == null) return // no forward data for this range (empty)
+
+    val rangeHasPrio = spec.subqueries.exists(_.priority.exists(byTerm.contains))
+
+    // ---- WAND gate: skip the whole range when no subquery's bound beats the
+    // current capped selection (exact: bounds never under-estimate, the
+    // selection threshold only tightens, and priority stratification is
+    // respected — a range that could produce a priority hit is never skipped
+    // on score alone unless the selection is already full of priority hits
+    // with this range unable to mint one).
+    if (spec.pruning) {
+      val threshold =
+        if (rangeHasPrio) Double.PositiveInfinity // prio candidates outrank; can't skip on score
+        else sel.nonPrioThreshold
+      if (threshold == Double.NegativeInfinity) return
+      if (threshold != Double.PositiveInfinity) {
+        // a candidate can exist only if some subquery fully matches, but its
+        // final score is the min over ALL variants — bound accordingly
+        val anyMatchable = spec.subqueries.exists(sq =>
+          (sq.include.map(_.hash) ++ sq.advice).forall(byTerm.contains))
+        if (!anyMatchable) return
+        val bestBound = spec.subqueries.iterator
+          .map(sq => variantBound(spec, sq, byTerm, minRank))
+          .foldLeft(Double.PositiveInfinity)(math.min)
+        if (bestBound > threshold) return
+      }
+    }
 
     val seen = scala.collection.mutable.Set.empty[Long] // F6 cross-subquery memo
     spec.subqueries.foreach { sq =>
@@ -277,18 +459,20 @@ object QueryKernel {
       val required: Seq[Long] = sq.include.map(_.hash) ++ sq.advice
       val lists = required.flatMap(h => byTerm.get(h))
       if (lists.length == required.length && lists.nonEmpty) {
-        // driver = rarest list; galloping intersection (J1, BTreeReader.retainEntries)
-        val sorted = lists.sortBy(_.length)
-        val driver = sorted.head
+        // driver = rarest list, fully decoded; other lists answer membership
+        // via skip-seek group decode (galloping intersection, J1 —
+        // BTreeReader.retainEntries)
+        val sorted = lists.sortBy(_.n)
+        val driver = sorted.head.full
         val others = sorted.tail
         val excl = sq.exclude.flatMap(byTerm.get)
         var i = 0
         while (i < driver.length) {
           val doc = driver.docIds(i)
-          if (!seen.contains(doc) && others.forall(o => contains(o, doc)) &&
-              !excl.exists(e => contains(e, doc))) {
+          if (!seen.contains(doc) && others.forall(_.contains(doc)) &&
+              !excl.exists(_.contains(doc))) {
             seen += doc
-            scoreCandidate(spec, sq, doc, byTerm, fwdMeta, fwdDom, out)
+            scoreCandidate(spec, sq, doc, byTerm, fwdMeta, fwdDom, sel)
           }
           i += 1
         }
@@ -296,34 +480,12 @@ object QueryKernel {
     }
   }
 
-  private def mergeSorted(a: PostingCodec.Postings, b: PostingCodec.Postings): PostingCodec.Postings = {
-    val n = a.length + b.length
-    val docs = new Array[Long](n); val metas = new Array[Long](n)
-    var i = 0; var j = 0; var k = 0
-    while (i < a.length && j < b.length) {
-      if (a.docIds(i) <= b.docIds(j)) { docs(k) = a.docIds(i); metas(k) = a.metas(i); i += 1 }
-      else { docs(k) = b.docIds(j); metas(k) = b.metas(j); j += 1 }
-      k += 1
-    }
-    while (i < a.length) { docs(k) = a.docIds(i); metas(k) = a.metas(i); i += 1; k += 1 }
-    while (j < b.length) { docs(k) = b.docIds(j); metas(k) = b.metas(j); j += 1; k += 1 }
-    PostingCodec.Postings(docs, metas)
-  }
-
-  private def contains(p: PostingCodec.Postings, doc: Long): Boolean =
-    java.util.Arrays.binarySearch(p.docIds, doc) >= 0
-
-  private def metaOf(p: PostingCodec.Postings, doc: Long): Long = {
-    val i = java.util.Arrays.binarySearch(p.docIds, doc)
-    if (i >= 0) p.metas(i) else 0L
-  }
-
   private def scoreCandidate(spec: KernelSpec, sq: KernelSubquery, doc: Long,
-                             byTerm: scala.collection.mutable.Map[Long, PostingCodec.Postings],
-                             fwdMeta: PostingCodec.Postings, fwdDom: PostingCodec.Postings,
-                             out: scala.collection.mutable.ArrayBuffer[Candidate]): Unit = {
-    val docMeta = metaOf(fwdMeta, doc)
-    val domainId = metaOf(fwdDom, doc).toInt
+                             byTerm: scala.collection.mutable.Map[Long, Block],
+                             fwdMeta: Block, fwdDom: Block,
+                             sel: Selection): Unit = {
+    val docMeta = fwdMeta.meta(doc)
+    val domainId = fwdDom.meta(doc).toInt
 
     // param filter (F7) — runs last in the reference too
     if (spec.domains.nonEmpty && !spec.domains.contains(domainId)) return
@@ -335,7 +497,7 @@ object QueryKernel {
     // priority-term hit is checked across ALL subqueries' priority terms
     // (IndexMetadataService.getResultsWithPriorityTerms)
     val hasPrio = spec.subqueries.exists(_.priority.exists(ph =>
-      byTerm.get(ph).exists(p => metaOf(p, doc) != 0L)))
+      byTerm.get(ph).exists(_.meta(doc) != 0L)))
 
     // score against every subquery's term set, best (min) wins — the
     // reference's variant-set loop (ResultValuator:90-103)
@@ -346,14 +508,14 @@ object QueryKernel {
     var anyAllSynthetic = false
     spec.subqueries.foreach { variant =>
       val terms = variant.include.map { t =>
-        TermScoreInput(t.term, byTerm.get(t.hash).map(p => metaOf(p, doc)).getOrElse(0L),
+        TermScoreInput(t.term, byTerm.get(t.hash).map(_.meta(doc)).getOrElse(0L),
           t.dfFull, t.dfPrio)
       }
       // coherence disqualification (R8, per-variant constraint sets)
       val coherenceOk = variant.coherences.forall { cohSet =>
         var overlap = 0xFF_FFFF_FFFF_FFFFL
         cohSet.foreach { h =>
-          overlap &= WordMeta.positions(byTerm.get(h).map(p => metaOf(p, doc)).getOrElse(0L))
+          overlap &= WordMeta.positions(byTerm.get(h).map(_.meta(doc)).getOrElse(0L))
         }
         overlap != 0L
       }
@@ -376,6 +538,6 @@ object QueryKernel {
     if (disqualified) return
     if (maxMinFlags == 0 && !anyAllSynthetic && maxMinPos == 0) return
 
-    out += Candidate(DocId.urlId(doc), domainId, DocId.ranking(doc), hasPrio, best)
+    sel.add(Candidate(DocId.urlId(doc), domainId, DocId.ranking(doc), hasPrio, best))
   }
 }

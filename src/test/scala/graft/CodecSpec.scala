@@ -102,6 +102,20 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("PostingCodec containsDoc distinguishes membership from zero metas") {
+    val r = rng
+    Seq(1, 128, 500).foreach { n =>
+      val docs = sortedRun(r, n)
+      val metas = Array.fill(n)(0L) // priority tier: all metas zero
+      val (blob, skip) = PostingCodec.encode(docs, metas)
+      docs.foreach(d => assert(PostingCodec.containsDoc(blob, skip, d)))
+      assert(!PostingCodec.containsDoc(blob, skip, docs.head - 1))
+      assert(!PostingCodec.containsDoc(blob, skip, docs.last + 1))
+      if (n > 2 && !docs.contains(docs(n / 2) + 1))
+        assert(!PostingCodec.containsDoc(blob, skip, docs(n / 2) + 1))
+    }
+  }
+
   test("posting blocks compress well vs raw 16B/posting") {
     val r = rng
     val docs = sortedRun(r, 10000).map(_ % (1L << 32)).sorted

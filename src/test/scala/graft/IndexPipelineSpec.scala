@@ -152,6 +152,28 @@ class IndexPipelineSpec extends AnyFunSuite {
     assert(fail.isEmpty)
   }
 
+  // --- block-max WAND pruning is exact ---------------------------------------
+  test("WAND range pruning returns identical results to unpruned evaluation") {
+    // tiny ranges (shift=2 → 4 docs per range) maximize skip opportunities
+    val root = freshRoot()
+    IndexBuilder.buildFromJournal(spark, Fixtures.factorsJournal(spark), root, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 2))
+    val idx = QueryEngine.open(root)
+    val specs = Seq(
+      QuerySpec(Seq(Subquery(include = Seq("7", "3"))), limitTotal = 10),
+      QuerySpec(Seq(Subquery(include = Seq("2"))), limitTotal = 5, limitByDomain = 3),
+      QuerySpec(Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))), limitTotal = 10),
+      QuerySpec(Seq(Subquery(include = Seq("7", "3"), priority = Seq("63"))), limitTotal = 12),
+      QuerySpec(Seq(
+        Subquery(include = Seq("11")),
+        Subquery(include = Seq("13"))), limitTotal = 8))
+    specs.foreach { s =>
+      val pruned = QueryEngine.search(spark, idx, s.copy(pruning = true))
+      val full = QueryEngine.search(spark, idx, s.copy(pruning = false))
+      assert(pruned == full, s"pruned != unpruned for $s")
+    }
+  }
+
   // --- resumability (north rule) ---------------------------------------------
   test("killed build resumes from stage markers and commits an identical index") {
     val root = freshRoot()
