@@ -1,0 +1,118 @@
+package graft.query
+
+import graft.analysis.Tokenizer
+
+/** Query-language front-end (SURVEY §2.9 Q1-Q5), a combinator-free
+  * hand-rolled scanner over the reference's token grammar
+  * (/root/reference/code/features-search/query-parser/src/main/java/nu/marginalia/query_parser/QueryTokenizer.java:14-61,
+  * QueryParser.java:14-101):
+  *
+  *   - `"quoted phrase"`  → parts become includes + one coherence constraint
+  *                          (the reference also emits the joined `a_b` n-gram
+  *                          as advice; our tokenizer indexes no synthetic
+  *                          n-grams, so the coherence set carries the phrase
+  *                          semantics — documented deviation)
+  *   - `-term`            → exclude
+  *   - `?term`            → priority (scored bonus, not required)
+  *   - `key:value`        → advice (required for the match, excluded from
+  *                          scoring — QuerySearchTermsAccumulator.java:36-38)
+  *   - `q>x` / `q<x`      → quality limit   (GREATER_THAN is >=, LESS_THAN <=,
+  *   - `year=x|>x|<x`     → year limit       SpecificationLimit.java:22-32)
+  *   - `size>x|<x|=x`     → size limit
+  *   - `rank>x|<x|=x`     → rank limit
+  *   - anything else      → include (normalized via the same Tokenizer path
+  *                          the index used, so terms hash identically)
+  *
+  * The reference further expands POS-driven variants/permutations
+  * (QueryVariants.java:72-120, ≤24 permutations ≤5 variants); those need an
+  * NLP model our code corpus doesn't carry, so the planner uses the identity
+  * variant only — a deterministic subset (SURVEY §2.9 Q3 note).
+  */
+object QueryParser {
+
+  private val limitPat = "(q|year|size|rank)([<>=])(\\d+)".r
+
+  def parse(query: String,
+            limitByDomain: Int = 10,
+            limitTotal: Int = 10,
+            params: RankingParams = RankingParams()): QuerySpec = {
+    val include = Seq.newBuilder[String]
+    val exclude = Seq.newBuilder[String]
+    val priority = Seq.newBuilder[String]
+    val advice = Seq.newBuilder[String]
+    val coherences = Seq.newBuilder[Seq[String]]
+    var year = SpecLimit.none
+    var quality = SpecLimit.none
+    var size = SpecLimit.none
+    var rank = SpecLimit.none
+
+    def norm(t: String): String = Tokenizer.normalize(t)
+
+    val toks = tokenize(query)
+    toks.foreach {
+      case Quoted(body) =>
+        val parts = Tokenizer.splitLine(body).map(norm).filter(_.nonEmpty).toSeq
+        if (parts.nonEmpty) {
+          include ++= parts
+          if (parts.size > 1) coherences += parts
+        }
+      case Plain(t) =>
+        t match {
+          case limitPat(field, op, v) =>
+            val lim = op match {
+              case ">" => SpecLimit.greaterThan(v.toInt)
+              case "<" => SpecLimit.lessThan(v.toInt)
+              case _   => SpecLimit.equalTo(v.toInt)
+            }
+            field match {
+              case "q"    => quality = lim
+              case "year" => year = lim
+              case "size" => size = lim
+              case "rank" => rank = lim
+            }
+          case _ if t.startsWith("-") && t.length > 1 => exclude += norm(t.drop(1))
+          case _ if t.startsWith("?") && t.length > 1 => priority += norm(t.drop(1))
+          case _ if t.contains(":")                   => advice += norm(t)
+          case _ if t.nonEmpty                        => include += norm(t)
+          case _                                      =>
+        }
+    }
+
+    QuerySpec(
+      subqueries = Seq(Subquery(
+        include = include.result().distinct,
+        exclude = exclude.result().distinct,
+        priority = priority.result().distinct,
+        advice = advice.result().distinct,
+        coherences = coherences.result())),
+      year = year, quality = quality, size = size, rank = rank,
+      limitByDomain = limitByDomain, limitTotal = limitTotal, params = params)
+  }
+
+  // ---- scanner -------------------------------------------------------------
+
+  private sealed trait Tok
+  private final case class Quoted(body: String) extends Tok
+  private final case class Plain(body: String) extends Tok
+
+  private def tokenize(q: String): Seq[Tok] = {
+    val out = Seq.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"') {
+        val end = q.indexOf('"', i + 1)
+        if (end < 0) { out += Plain(q.substring(i + 1)); i = n }
+        else { out += Quoted(q.substring(i + 1, end)); i = end + 1 }
+      } else {
+        var j = i
+        while (j < n && !q.charAt(j).isWhitespace) j += 1
+        out += Plain(q.substring(i, j))
+        i = j
+      }
+    }
+    out.result()
+  }
+}
