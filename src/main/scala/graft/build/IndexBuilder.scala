@@ -35,9 +35,15 @@ final case class PostingBlock(
 
 /** Forward-index block for one docRange: rank_doc_id → (doc_meta, domain_id)
   * (the reference's in-RAM forward index, ForwardIndexReader.java:53-71,
-  * sharded by docRange so query partitions are self-sufficient). */
+  * sharded by docRange so query partitions are self-sufficient).
+  * `min_rank`/`max_asl`/`min_quality`/`max_topology` are the range's
+  * document-metadata extremes — block-max statistics that let WAND bound the
+  * document-level score part tightly. min_rank is the DOC-META rank (what
+  * the valuator reads), not the posting-order rank of the range id — the
+  * two coincide in the corpus path but not in journal-level fixtures. */
 final case class FwdBlock(
     doc_range: Long, n: Int,
+    min_rank: Int, max_asl: Int, min_quality: Int, max_topology: Int,
     blob_meta: Array[Byte], meta_skip_docs: Array[Long], meta_skip_offs: Array[Int],
     blob_domain: Array[Byte], dom_skip_docs: Array[Long], dom_skip_offs: Array[Int])
 
@@ -53,11 +59,21 @@ final case class TermStatsRow(bucket: Int, term_hash: Long, df_full: Long, df_pr
   *                      2^shift ids; (term, docRange) is the posting-block
   *                      key. Ranges align across terms so query-time
   *                      intersection co-locates by a shuffle of only the
-  *                      query's own postings. docRange doubles as the salt:
-  *                      head terms split into one block per range, so no
-  *                      single reducer owns a whole head term.
+  *                      query's own postings, and per-(term, range) block
+  *                      maxima drive WAND skipping.
+  * @param saltByRange   distribute the index shuffle by (bucket, docRange)
+  *                      instead of bucket alone — spreads a single head term
+  *                      over many reducers when one bucket outgrows a task
+  *                      (the 10^12-file regime), at the cost of one output
+  *                      file per (task, bucket) instead of one per bucket.
+  *                      Off by default: bucket granularity already bounds
+  *                      skew to ~1/numBuckets of the postings, and the
+  *                      file-count explosion measurably dominates the build
+  *                      on filesystems with slow metadata ops. Size
+  *                      numBuckets ≥ cluster cores either way.
   */
-final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16)
+final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16,
+                           saltByRange: Boolean = false)
 
 /** Index build pipeline (SURVEY §3.2 Spark rebuild):
   *
@@ -88,29 +104,49 @@ object IndexBuilder {
   def repoRank(repo: String): Int =
     1 + (((Hashes.termHash("rank:" + repo) % 255) + 255) % 255).toInt
 
+  /** v2 commit: rename task output straight into place — halves the
+    * filesystem-metadata traffic of every stage's commit (each rename on a
+    * local FS forks a shell for permission ops; v1's two-phase rename
+    * measurably dominated small builds). */
+  private def configureCommitter(spark: SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .setInt("mapreduce.fileoutputcommitter.algorithm.version", 2)
+
   // --------------------------------------------------------------------------
   /** Full build from a corpus table (repo, path, commit, lang, content). */
   def buildFromCorpus(spark: SparkSession, corpus: DataFrame, root: String,
                       snapshotId: String, conf: IndexConf = IndexConf()): Snapshots.Manifest = {
     import spark.implicits._
+    configureCommitter(spark)
     val dir = Snapshots.stagingDir(root, snapshotId).toString
 
     // -- stage: journal (tokenize + deterministic id assignment) ------------
     if (!Snapshots.isStageDone(root, snapshotId, StageJournal)) {
-      // Deterministic doc ids without a global row_number bottleneck:
-      // per-repo local ordinal (window partitioned by repo — parallel) plus a
-      // broadcast per-repo offset (repo dimension is tiny relative to docs).
-      val repoDim = corpus.groupBy($"repo").agg(count(lit(1)).as("n_docs"))
+      // Deterministic doc ids without a global row_number bottleneck AND
+      // without dragging `content` through a skewed window shuffle: the
+      // per-repo ordinal window runs over a SLIM (repo, path, commit)
+      // projection (the only data that moves by the low-cardinality repo
+      // key), and the resulting id table joins back on the unique composite
+      // key — uniformly distributed, AQE-broadcast when small — so the
+      // expensive tokenize map below runs at full scan/join parallelism.
+      val slim = corpus.select($"repo", $"path", $"commit")
+      val repoDim = slim.groupBy($"repo").agg(count(lit(1)).as("n_docs"))
         .withColumn("repo_id", (row_number().over(Window.orderBy($"repo")) - 1))
         .withColumn("repo_offset",
           coalesce(sum($"n_docs").over(Window.orderBy($"repo")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       val localW = Window.partitionBy($"repo").orderBy($"path", $"commit")
-      val withIds = corpus
+      val slimIds = slim
         .withColumn("local_rn", row_number().over(localW).cast("long") - 1L)
         .join(broadcast(repoDim), Seq("repo"))
-        .withColumn("url_id", ($"repo_offset" + $"local_rn" + 1L).cast("int"))
-        .withColumn("domain_id", $"repo_id".cast("int"))
+        .select($"repo", $"path", $"commit",
+          ($"repo_offset" + $"local_rn" + 1L).cast("int").as("url_id"),
+          $"repo_id".cast("int").as("domain_id"))
+      // shuffle-hash, not broadcast: a broadcast of the id table is built
+      // single-threaded on the driver and stalls every executor behind the
+      // TorrentBroadcast lock; SHJ distributes both sides by the unique key
+      // with no sort of `content`
+      val withIds = corpus.join(slimIds.hint("shuffle_hash"), Seq("repo", "path", "commit"))
 
       val journal = withIds
         .select($"repo", $"path", $"commit", $"lang", $"content", $"url_id", $"domain_id")
@@ -140,14 +176,23 @@ object IndexBuilder {
   def buildFromJournal(spark: SparkSession, journal: DataFrame, root: String,
                        snapshotId: String, conf: IndexConf): Snapshots.Manifest = {
     import spark.implicits._
+    configureCommitter(spark)
     val dir = Snapshots.stagingDir(root, snapshotId).toString
     val lineageAcc = spark.sparkContext.collectionAccumulator[LineageRow]("lineage")
 
-    // -- stage: documents dimension ------------------------------------------
-    if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
+    // The five post-journal stages are mutually independent — submit them as
+    // CONCURRENT Spark jobs (scheduler interleaves their tasks), so one
+    // stage's shuffle/write phases overlap another's map phases instead of
+    // serializing six job setup+commit latencies.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+
+    val stageDocsF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
       journal.drop("keywords").write.mode("overwrite").parquet(s"$dir/documents")
       Snapshots.markStageDone(root, snapshotId, StageDocs)
-    }
+    }}
 
     // Exploded postings: one row per (term, doc). rank_doc_id is the posting
     // sort key — (domainRank << 32) | urlId, best-ranked docs first
@@ -164,23 +209,23 @@ object IndexBuilder {
       .as[RawPosting]
 
     // -- stage: full-tier posting blocks --------------------------------------
-    if (!Snapshots.isStageDone(root, snapshotId, StagePostings)) {
+    val stagePostingsF = Future { if (!Snapshots.isStageDone(root, snapshotId, StagePostings)) {
       encodeBlocks(explodedPostings, conf, StagePostings, lineageAcc, keepMeta = true)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings")
       Snapshots.markStageDone(root, snapshotId, StagePostings)
-    }
+    }}
 
     // -- stage: priority-tier posting blocks (docIds only, records with any
     //    priority flag — ReverseIndexPriorityParameters.java:14-28) ----------
-    if (!Snapshots.isStageDone(root, snapshotId, StagePrio)) {
+    val stagePrioF = Future { if (!Snapshots.isStageDone(root, snapshotId, StagePrio)) {
       val prio = explodedPostings.filter(p => (p.term_meta & WordFlags.PriorityMask) != 0L)
       encodeBlocks(prio, conf, StagePrio, lineageAcc, keepMeta = false)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings_prio")
       Snapshots.markStageDone(root, snapshotId, StagePrio)
-    }
+    }}
 
     // -- stage: term stats (df per tier; A1/A6) -------------------------------
-    if (!Snapshots.isStageDone(root, snapshotId, StageStats)) {
+    val stageStatsF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageStats)) {
       journal.select(explode($"keywords").as("kw"))
         .select(xxhash64($"kw.term").as("term_hash"), $"kw.meta".as("term_meta"))
         .groupBy($"term_hash")
@@ -190,12 +235,13 @@ object IndexBuilder {
             .otherwise(0L)).as("df_prio"))
         .withColumn("bucket", pmod($"term_hash", lit(conf.numBuckets.toLong)).cast("int"))
         .select($"bucket", $"term_hash", $"df_full", $"df_prio")
+        .repartition(conf.numBuckets, $"bucket") // one output file per bucket dir
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/term_stats")
       Snapshots.markStageDone(root, snapshotId, StageStats)
-    }
+    }}
 
     // -- stage: forward blocks ------------------------------------------------
-    if (!Snapshots.isStageDone(root, snapshotId, StageFwd)) {
+    val stageFwdF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageFwd)) {
       val t0 = System.currentTimeMillis()
       journal
         .select($"url_id", $"rank", $"domain_id", $"doc_meta")
@@ -213,15 +259,22 @@ object IndexBuilder {
           val metas = scala.collection.mutable.ArrayBuffer.empty[Long]
           val doms = scala.collection.mutable.ArrayBuffer.empty[Long]
           var curRange = Long.MinValue
+          var minRank = 255; var maxAsl = 0; var minQual = 15; var maxTopo = 0
           def flush(): Unit = if (docs.nonEmpty) {
             val (bm, sm) = PostingCodec.encode(docs.toArray, metas.toArray)
             val (bd, sd) = PostingCodec.encode(docs.toArray, doms.toArray)
-            out += FwdBlock(curRange, docs.length, bm, sm.docIds, sm.offsets, bd, sd.docIds, sd.offsets)
+            out += FwdBlock(curRange, docs.length, minRank, maxAsl, minQual, maxTopo,
+              bm, sm.docIds, sm.offsets, bd, sd.docIds, sd.offsets)
             docs.clear(); metas.clear(); doms.clear()
+            minRank = 255; maxAsl = 0; minQual = 15; maxTopo = 0
           }
           it.foreach { r =>
             if (r.doc_range != curRange) { flush(); curRange = r.doc_range }
             docs += r.rank_doc_id; metas += r.doc_meta; doms += r.domain_id
+            minRank = math.min(minRank, DocMeta.rank(r.doc_meta))
+            maxAsl = math.max(maxAsl, DocMeta.asl(r.doc_meta))
+            minQual = math.min(minQual, DocMeta.quality(r.doc_meta))
+            maxTopo = math.max(maxTopo, DocMeta.topology(r.doc_meta))
           }
           flush()
           out.iterator
@@ -229,8 +282,11 @@ object IndexBuilder {
         .write.mode("overwrite").parquet(s"$dir/fwd")
       lineageAcc.add(LineageRow(StageFwd, -1, 0, 0, 0, 0, System.currentTimeMillis() - t0))
       Snapshots.markStageDone(root, snapshotId, StageFwd)
-    }
+    }}
 
+    Await.result(
+      Future.sequence(Seq(stageDocsF, stagePostingsF, stagePrioF, stageStatsF, stageFwdF)),
+      Duration.Inf)
     val docCount = spark.read.parquet(s"$dir/documents").count()
     val manifest = Snapshots.Manifest(
       snapshotId, docCount, conf.numBuckets, conf.docRangeShift,
@@ -252,11 +308,14 @@ object IndexBuilder {
     val spark = postings.sparkSession
     import spark.implicits._
     val nb = conf.numBuckets
-    postings
+    val bucketed = postings
       .withColumn("bucket", pmod($"term_hash", lit(nb.toLong)).cast("int"))
       .select($"bucket", $"term_hash", $"doc_range", $"rank_doc_id", $"term_meta")
       .as[BucketedPosting]
-      .repartition($"bucket", $"doc_range")
+    val distributed =
+      if (conf.saltByRange) bucketed.repartition($"bucket", $"doc_range")
+      else bucketed.repartition(nb, $"bucket") // one reducer & output file per bucket
+    distributed
       .sortWithinPartitions($"bucket", $"term_hash", $"doc_range", $"rank_doc_id")
       .mapPartitions { it =>
         val t0 = System.currentTimeMillis()

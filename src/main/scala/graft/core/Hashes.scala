@@ -22,11 +22,18 @@ object Hashes {
       org.apache.spark.unsafe.types.UTF8String.fromString(term),
       org.apache.spark.sql.types.StringType, TermHashSeed)
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
   def sha256Hex(s: String): String = {
     val md = MessageDigest.getInstance("SHA-256")
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val sb = new StringBuilder(d.length * 2)
-    d.foreach(b => sb.append(f"${b & 0xFF}%02x"))
-    sb.toString
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(i * 2) = HexDigits((d(i) >> 4) & 0xF)
+      out(i * 2 + 1) = HexDigits(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
   }
 }

@@ -88,15 +88,24 @@ final case class SearchResult(
   */
 object QueryEngine {
 
-  /** Loaded handle on one snapshot. */
-  final case class Index(root: String, manifest: Snapshots.Manifest) {
+  /** Loaded handle on one snapshot. The table DataFrames are created once per
+    * handle: Spark caches the parquet FileIndex inside the plan, so repeated
+    * queries skip file listing and footer reads — the reference's
+    * memory-mapped always-open readers (SearchIndexReader), Spark-style. */
+  final class Index(val root: String, val manifest: Snapshots.Manifest,
+                    spark: SparkSession) {
     def dir: String = Snapshots.stagingDir(root, manifest.snapshotId).toString
+    lazy val termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
+    lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
+    lazy val fwd: DataFrame = spark.read.parquet(s"$dir/fwd")
   }
 
-  def open(root: String): Index = {
+  def open(root: String): Index = open(root, SparkSession.active)
+
+  def open(root: String, spark: SparkSession): Index = {
     val m = Snapshots.currentManifest(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
-    Index(root, m)
+    new Index(root, m, spark)
   }
 
   // -------------------------------------------------------------------------
@@ -112,7 +121,7 @@ object QueryEngine {
     val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
 
     // ---- planner: per-term document frequencies (bucket-pruned tiny scan) --
-    val statsRows = spark.read.parquet(s"${index.dir}/term_stats")
+    val statsRows = index.termStats
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
       .select($"term_hash", $"df_full", $"df_prio")
       .collect()
@@ -128,7 +137,7 @@ object QueryEngine {
     if (liveSubqueries.isEmpty) return Nil
 
     // ---- pruned posting scan -----------------------------------------------
-    val postings = spark.read.parquet(s"${index.dir}/postings")
+    val postings = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
 
     // doc ranges of the rarest include term per subquery bound the candidate
@@ -147,14 +156,15 @@ object QueryEngine {
         lit(null).cast("binary").as("blob_domain"),
         lit(null).cast("array<bigint>").as("dom_skip_docs"),
         lit(null).cast("array<int>").as("dom_skip_offs"))
-    val fwd = spark.read.parquet(s"${index.dir}/fwd")
+    val fwd = index.fwd
       .where($"doc_range".isin(ranges.toSeq: _*))
       .select(lit(0L).as("term_hash"), $"doc_range", $"n",
         lit(-1).as("max_pos_count"),
         $"blob_meta".as("blob"), $"meta_skip_docs".as("skip_docs"),
         $"meta_skip_offs".as("skip_offs"),
-        $"blob_domain", $"dom_skip_docs", $"dom_skip_offs")
-    val tagged = prunedPostings.unionByName(fwd)
+        $"blob_domain", $"dom_skip_docs", $"dom_skip_offs",
+        $"min_rank", $"max_asl", $"min_quality", $"max_topology")
+    val tagged = prunedPostings.unionByName(fwd, allowMissingColumns = true)
 
     // ---- broadcast the tiny query plan to the kernel ------------------------
     val bSpec = spark.sparkContext.broadcast(KernelSpec(
@@ -370,8 +380,12 @@ object QueryKernel {
     * coherence mask 0 ⇒ tcf 0), and setSize is the variant's regular-term
     * count. The caller takes the min across variants; a candidate's true
     * score also starts at 10.0 (ResultValuator default), hence the cap. */
+  /** Per-range document-metadata extremes from the forward block — block-max
+    * statistics for the document-level score part. */
+  final case class RangeStats(minRank: Int, maxAsl: Int, minQuality: Int, maxTopology: Int)
+
   private def variantBound(spec: KernelSpec, sq: KernelSubquery,
-                           byTerm: collection.Map[Long, Block], minRank: Int): Double = {
+                           byTerm: collection.Map[Long, Block], rs: RangeStats): Double = {
     val p = spec.params
     val regular = sq.include.filterNot(_.term.contains(":"))
     if (regular.isEmpty) return 10.0
@@ -391,21 +405,21 @@ object QueryKernel {
       }
     }
     if (allPresent) raw += p.tcfWeight * 1.0              // tcf ≤ weight
-    raw += (255.0 - minRank) * p.domainRankBonus          // rank bonus at range's best
-    raw += math.log(256.0)                                // topology ≤ 255
+    // document part at the range's best-case metadata (overallPart maxima):
+    raw += (255.0 - rs.minRank) * p.domainRankBonus
+    raw += math.log(1.0 + rs.maxTopology)
+    if (rs.maxAsl < p.shortSentenceThreshold) raw -= p.shortSentencePenalty
+    raw -= rs.minQuality * p.qualityPenalty
     math.min(10.0, Scoring.normalize(raw, regular.size))  // lower = better
   }
 
   private def evaluateRange(spec: KernelSpec, rows: Seq[Row], range: Long,
                             sel: Selection): Unit = {
-    // the domain rank is constant within a range: rank_doc_id = (rank<<32)|url
-    // and doc_range = rank_doc_id >> shift with shift < 32
-    val minRank = (((range << spec.docRangeShift) >>> 32) & 0xFF).toInt
-
     // split fwd row (blob_domain != null) from posting blocks — WITHOUT
     // decoding anything yet
     var fwdMeta: Block = null
     var fwdDom: Block = null
+    var rangeStats = RangeStats(0, 3, 0, 255) // optimistic fallback (never skips wrongly)
     val byTerm = scala.collection.mutable.Map.empty[Long, Block]
     rows.foreach { r =>
       val blobDomain = r.getAs[Array[Byte]]("blob_domain")
@@ -415,6 +429,11 @@ object QueryKernel {
           PostingCodec.SkipIndex(
             r.getAs[scala.collection.Seq[Long]]("dom_skip_docs").toArray,
             r.getAs[scala.collection.Seq[Int]]("dom_skip_offs").toArray))
+        rangeStats = RangeStats(
+          r.getInt(r.fieldIndex("min_rank")),
+          r.getInt(r.fieldIndex("max_asl")),
+          r.getInt(r.fieldIndex("min_quality")),
+          r.getInt(r.fieldIndex("max_topology")))
       } else {
         val th = r.getLong(r.fieldIndex("term_hash"))
         val b = blockOf(r)
@@ -446,7 +465,7 @@ object QueryKernel {
           (sq.include.map(_.hash) ++ sq.advice).forall(byTerm.contains))
         if (!anyMatchable) return
         val bestBound = spec.subqueries.iterator
-          .map(sq => variantBound(spec, sq, byTerm, minRank))
+          .map(sq => variantBound(spec, sq, byTerm, rangeStats))
           .foldLeft(Double.PositiveInfinity)(math.min)
         if (bestBound > threshold) return
       }

@@ -1,0 +1,97 @@
+package graft
+
+import graft.build.{IndexBuilder, IndexConf}
+import graft.fixtures.Fixtures
+import graft.query._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan assertions: the scale story depends on predicates reaching
+  * the parquet scans (PushedFilters), partition pruning on `bucket`, and
+  * broadcast joins staying broadcast. These tests freeze those properties so
+  * a refactor can't silently regress them (SURVEY §4). */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-plan")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val indexDir: String = {
+    val root = Files.createTempDirectory(java.nio.file.Paths.get("target"), "plan").toString
+    IndexBuilder.buildFromJournal(spark, Fixtures.factorsJournal(spark), root, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 4))
+    QueryEngine.open(root).dir
+  }
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("postings scan prunes partitions by bucket and pushes term_hash") {
+    val h = graft.core.Hashes.termHash("3")
+    val bucket = (((h % 8) + 8) % 8).toInt
+    val df = spark.read.parquet(s"$indexDir/postings")
+      .where(col("bucket") === bucket && col("term_hash") === h)
+      .select("term_hash", "doc_range", "n")
+    val plan = planOf(df)
+    // dynamic partition column filter must land in PartitionFilters, the
+    // term_hash equality in PushedFilters — both at the scan, not post-scan
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket not a partition filter:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(term_hash".r.findFirstIn(plan).isDefined,
+      s"term_hash not pushed:\n$plan")
+  }
+
+  test("term_stats planner lookup reads only the stats columns") {
+    val df = spark.read.parquet(s"$indexDir/term_stats")
+      .where(col("bucket") === 1)
+      .select("term_hash", "df_full")
+    val plan = planOf(df)
+    assert("ReadSchema: struct<term_hash:bigint,df_full:bigint".r.findFirstIn(plan).isDefined,
+      s"column pruning failed:\n$plan")
+  }
+
+  test("documents dimension join broadcasts (no shuffle of the fact side)") {
+    val docs = spark.read.parquet(s"$indexDir/documents").select("doc_id", "rank")
+    val postings = spark.read.parquet(s"$indexDir/postings").select("term_hash", "doc_range")
+    val joined = postings.join(broadcast(docs),
+      postings("doc_range") === docs("doc_id") % 16)
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin"), s"not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("whole-stage codegen covers the relational operator chain") {
+    val df = spark.read.parquet(s"$indexDir/postings")
+      .groupBy("bucket").agg(sum("n").as("postings"))
+    df.collect() // finalize the adaptive plan — codegen spans appear post-AQE
+    val plan = planOf(df)
+    // the final adaptive plan renders whole-stage-codegen stages as `*(n)`
+    assert(plan.contains("WholeStageCodegen") || "\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen span:\n$plan")
+  }
+
+  test("index build runs exactly one wide shuffle for the postings stage") {
+    // count Exchange operators in the encode path: repartition(bucket,
+    // doc_range) is the single expected exchange
+    import spark.implicits._
+    val journal = Fixtures.factorsJournal(spark)
+    val exploded = journal
+      .select($"url_id", $"rank", explode($"keywords").as("kw"))
+      .select(xxhash64($"kw.term").as("term_hash"),
+        lit(0L).as("doc_range"),
+        $"url_id".cast("long").as("rank_doc_id"),
+        $"kw.meta".as("term_meta"))
+      .withColumn("bucket", pmod($"term_hash", lit(8L)).cast("int"))
+      .repartition($"bucket", $"doc_range")
+      .sortWithinPartitions($"bucket", $"term_hash", $"doc_range", $"rank_doc_id")
+    val plan = planOf(exploded)
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
+  }
+}
