@@ -39,7 +39,12 @@ final case class Subquery(
 
 /** Full query spec (reference SearchSpecification subset).
   * `pruning` toggles block-max WAND range skipping (exact either way — the
-  * toggle exists so tests can assert pruned == unpruned). */
+  * toggle exists so tests can assert pruned == unpruned).
+  * `localEvalMaxPostings`: when the pruned candidate universe holds fewer
+  * postings than this, the blocks are collected and the kernel runs on the
+  * driver — no shuffle stage, no executor round-trip (the reference evaluates
+  * every query on one node; we keep the distributed kernel for the long
+  * tail). 0 forces the distributed path. Results are identical either way. */
 final case class QuerySpec(
     subqueries: Seq[Subquery],
     domains: Seq[Int] = Nil,
@@ -50,7 +55,8 @@ final case class QuerySpec(
     limitByDomain: Int = 10,
     limitTotal: Int = 10,
     params: RankingParams = RankingParams(),
-    pruning: Boolean = true)
+    pruning: Boolean = true,
+    localEvalMaxPostings: Long = 262_144L)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -120,13 +126,31 @@ object QueryEngine {
     val hashes = termHash.values.toSeq.distinct
     val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
 
-    // ---- planner: per-term document frequencies (bucket-pruned tiny scan) --
-    val statsRows = index.termStats
+    // ---- planner: two CONCURRENT metadata jobs ------------------------------
+    // (a) per-term prio document frequencies from term_stats;
+    // (b) the (term, range, n) directory of the query's posting blocks —
+    //     column-pruned, no blobs. Full-tier df = Σn per term (one posting
+    //     per (term, doc)), so (b) also yields df_full; (a) is only needed
+    //     for the prio-tier df used by the scorer.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val postings = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-      .select($"term_hash", $"df_full", $"df_prio")
-      .collect()
-    val dfFull = statsRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dfPrio = statsRows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val statsF = Future {
+      index.termStats
+        .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+        .select($"term_hash", $"df_prio")
+        .collect()
+    }
+    val dirF = Future {
+      postings.select($"term_hash", $"doc_range", $"n").collect()
+    }
+    val blockDir = Await.result(dirF, Duration.Inf)
+    val dfPrio = Await.result(statsF, Duration.Inf)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dfFull: Map[Long, Long] = blockDir.groupBy(_.getLong(0))
+      .map { case (h, rows) => h -> rows.map(_.getInt(2).toLong).sum }
     val docCount = index.manifest.docCount
 
     // a subquery whose include term is absent can never match (reference
@@ -136,19 +160,20 @@ object QueryEngine {
         (sq.include ++ sq.advice).forall(t => dfFull.getOrElse(termHash(t), 0L) > 0L))
     if (liveSubqueries.isEmpty) return Nil
 
-    // ---- pruned posting scan -----------------------------------------------
-    val postings = index.postings
-      .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-
     // doc ranges of the rarest include term per subquery bound the candidate
-    // universe; union across subqueries
-    val rarestTerms: Seq[Long] = liveSubqueries.map { sq =>
+    // universe; union across subqueries — computed from the block directory,
+    // no extra job
+    val rarestTerms: Set[Long] = liveSubqueries.map { sq =>
       termHash(sq.include.minBy(t => dfFull.getOrElse(termHash(t), Long.MaxValue)))
-    }.distinct
-    val ranges: Array[Long] = postings
-      .where($"term_hash".isin(rarestTerms: _*))
-      .select($"doc_range").distinct().as[Long].collect()
+    }.toSet
+    val ranges: Array[Long] = blockDir.iterator
+      .filter(r => rarestTerms.contains(r.getLong(0)))
+      .map(_.getLong(1)).toArray.distinct
     if (ranges.isEmpty) return Nil
+    val rangeSet = ranges.toSet
+    val postingsInPlay: Long = blockDir.iterator
+      .filter(r => rangeSet.contains(r.getLong(1)))
+      .map(_.getInt(2).toLong).sum
 
     val prunedPostings = postings.where($"doc_range".isin(ranges.toSeq: _*))
       .select($"term_hash", $"doc_range", $"n", $"max_pos_count",
@@ -166,8 +191,7 @@ object QueryEngine {
         $"min_rank", $"max_asl", $"min_quality", $"max_topology")
     val tagged = prunedPostings.unionByName(fwd, allowMissingColumns = true)
 
-    // ---- broadcast the tiny query plan to the kernel ------------------------
-    val bSpec = spark.sparkContext.broadcast(KernelSpec(
+    val kSpec = KernelSpec(
       subqueries = liveSubqueries.map(sq => KernelSubquery(
         include = sq.include.map(t => KernelTerm(t, termHash(t),
           math.max(1L, dfFull.getOrElse(termHash(t), 1L)),
@@ -183,15 +207,27 @@ object QueryEngine {
       params = spec.params,
       docCount = docCount,
       docRangeShift = index.manifest.docRangeShift,
-      pruning = spec.pruning))
+      pruning = spec.pruning)
 
-    // ---- kernel: one shuffle by doc_range, then per-range evaluation --------
-    val candidates = tagged
-      .repartition(col("doc_range"))
-      .sortWithinPartitions(col("doc_range"), col("term_hash"))
-      .mapPartitions(QueryKernel.evaluatePartition(bSpec.value))(
-        org.apache.spark.sql.Encoders.product[Candidate])
-      .collect()
+    val candidates: Array[Candidate] =
+      if (postingsInPlay <= spec.localEvalMaxPostings) {
+        // ---- driver-local kernel: one fetch job, no shuffle stage ----------
+        // ranges ascend = best domain rank first, and a single Selection
+        // tightens the WAND threshold globally
+        val rows = tagged.collect()
+        val ord = Ordering.by[org.apache.spark.sql.Row, (Long, Long)](r =>
+          (r.getLong(r.fieldIndex("doc_range")), r.getLong(r.fieldIndex("term_hash"))))
+        QueryKernel.evaluatePartition(kSpec)(rows.sorted(ord).iterator).toArray
+      } else {
+        // ---- distributed kernel: one shuffle by doc_range ------------------
+        val bSpec = spark.sparkContext.broadcast(kSpec)
+        tagged
+          .repartition(col("doc_range"))
+          .sortWithinPartitions(col("doc_range"), col("term_hash"))
+          .mapPartitions(QueryKernel.evaluatePartition(bSpec.value))(
+            org.apache.spark.sql.Encoders.product[Candidate])
+          .collect()
+      }
 
     // ---- final selection (reference selectBestResults) ----------------------
     val ordered = candidates.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
@@ -251,15 +287,24 @@ object QueryKernel {
   final class Block(val n: Int, val maxPosCount: Int, blob: Array[Byte],
                     skip: PostingCodec.SkipIndex) {
     private[this] var fullDecoded: PostingCodec.Postings = null
+    private[this] var probes: Int = 0
     def full: PostingCodec.Postings = {
       if (fullDecoded == null) fullDecoded = PostingCodec.decode(blob)
       fullDecoded
     }
+    // Adaptive: stay lazy (skip-seek one 128-posting group per probe) for a
+    // handful of lookups, then decode fully — a range whose driver list is
+    // dense would otherwise re-decode the same groups per candidate.
+    private def promote(): Boolean = {
+      probes += 1
+      if (fullDecoded == null && probes > 16) { full; true }
+      else fullDecoded != null
+    }
     def contains(doc: Long): Boolean =
-      if (fullDecoded != null) java.util.Arrays.binarySearch(fullDecoded.docIds, doc) >= 0
+      if (promote()) java.util.Arrays.binarySearch(fullDecoded.docIds, doc) >= 0
       else PostingCodec.containsDoc(blob, skip, doc)
     def meta(doc: Long): Long =
-      if (fullDecoded != null) {
+      if (promote()) {
         val i = java.util.Arrays.binarySearch(fullDecoded.docIds, doc)
         if (i >= 0) fullDecoded.metas(i) else 0L
       } else PostingCodec.lookup(blob, skip, doc)
@@ -292,8 +337,19 @@ object QueryKernel {
     val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     private var dirty = false
     private var cachedThreshold = Double.PositiveInfinity
+    private var compactFloor = 1024
 
-    def add(c: Candidate): Unit = { all += c; dirty = true }
+    def add(c: Candidate): Unit = {
+      all += c; dirty = true
+      // bound the buffer (and the threshold re-sort cost): dropping beyond
+      // the per-domain cap is exactly what emit() does anyway, so compaction
+      // never changes the output or the threshold
+      if (all.length > compactFloor * 2) {
+        val kept = emit().toBuffer
+        all.clear(); all ++= kept
+        compactFloor = math.max(1024, all.length)
+      }
+    }
 
     /** Worst score a new NON-priority candidate must strictly beat to have any
       * chance of entering the final global top-k:
@@ -391,20 +447,27 @@ object QueryKernel {
     if (regular.isEmpty) return 10.0
     var raw = 0.0
     var allPresent = true
+    var minMaxPos = 56
     regular.foreach { t =>
       byTerm.get(t.hash) match {
         case Some(b) =>
           val c = b.maxPosCount.toDouble
+          minMaxPos = math.min(minMaxPos, b.maxPosCount)
           if (c > 0)
+            // the kernel always scores with the literal length 5000
+            // (IndexResultValuator.java:118), so the bound can too
             raw += p.bm25FullWeight * Scoring.invFreq(spec.docCount, t.dfFull) *
-              Scoring.tfSat(p.fullParams.k, p.fullParams.b, c, 0)
+              Scoring.tfSat(p.fullParams.k, p.fullParams.b, c, 5000)
           // prio-tier part: ≤ bitCount(PrioBm25Mask)=5 flag bits can be set
           raw += p.bm25PrioWeight * Scoring.invFreq(spec.docCount, t.dfPrio) *
             Scoring.tfSat(p.prioParams.k, 0, 5.0, 0)
         case None => allPresent = false // meta 0 ⇒ zero contribution, tcf dead
       }
     }
-    if (allPresent) raw += p.tcfWeight * 1.0              // tcf ≤ weight
+    if (allPresent)
+      // tcf = w·(bitCount(AND of masks)/56)^0.25 ≤ w·(min over terms of the
+      // block-max position count / 56)^0.25
+      raw += p.tcfWeight * math.pow(minMaxPos / 56.0, 0.25)
     // document part at the range's best-case metadata (overallPart maxima):
     raw += (255.0 - rs.minRank) * p.domainRankBonus
     raw += math.log(1.0 + rs.maxTopology)

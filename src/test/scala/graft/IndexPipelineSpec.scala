@@ -168,9 +168,14 @@ class IndexPipelineSpec extends AnyFunSuite {
         Subquery(include = Seq("11")),
         Subquery(include = Seq("13"))), limitTotal = 8))
     specs.foreach { s =>
-      val pruned = QueryEngine.search(spark, idx, s.copy(pruning = true))
-      val full = QueryEngine.search(spark, idx, s.copy(pruning = false))
-      assert(pruned == full, s"pruned != unpruned for $s")
+      // exactness across the pruning × evaluation-path grid: WAND on/off,
+      // driver-local vs distributed kernel — all four must agree
+      val results = for {
+        pruning <- Seq(true, false)
+        localMax <- Seq(Long.MaxValue, 0L)
+      } yield QueryEngine.search(spark, idx,
+        s.copy(pruning = pruning, localEvalMaxPostings = localMax))
+      assert(results.distinct.size == 1, s"paths disagree for $s:\n${results.mkString("\n")}")
     }
   }
 
