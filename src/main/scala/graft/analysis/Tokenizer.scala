@@ -10,6 +10,13 @@ final case class Keyword(term: String, meta: Long, tf: Int)
   * length); `docMeta` is the packed document metadata. */
 final case class DocAnalysis(keywords: Array[Keyword], length: Int, docMeta: Long)
 
+/** Corpus-wide term frequencies for extraction-time TF-IDF (the reference's
+  * term-frequency dictionary, TermFrequencyDict.java). Absent terms read as
+  * frequency 1 (the reference's clamp, WordsTfIdfCounts.java:139-141). */
+final case class TfIdfDict(df: Map[String, Long], docCount: Double) {
+  def freq(term: String): Double = math.max(1L, df.getOrElse(term, 1L)).toDouble
+}
+
 /** Document analysis front-end: code-aware tokenization, keyword-shape gate,
   * junk filtering, position bitmask, flags, synthetic meta-terms.
   *
@@ -151,7 +158,8 @@ object Tokenizer {
     * @param yearByte encoded year byte for doc_meta
     */
   def analyze(repo: String, path: String, lang: String, content: String,
-              repoRank: Int = DocMeta.UnknownRank, yearByte: Int = 0): DocAnalysis = {
+              repoRank: Int = DocMeta.UnknownRank, yearByte: Int = 0,
+              tfIdfDict: TfIdfDict = null): DocAnalysis = {
     val lines = content.split('\n')
     val masks = new java.util.HashMap[String, Long](256)
     val tfs   = new java.util.HashMap[String, Int](256)
@@ -220,6 +228,23 @@ object Tokenizer {
     add(s"lang:${lang.toLowerCase}", 0L, WordFlags.Synthetic)
     add(s"repo:${repo.toLowerCase}", 0L, WordFlags.Synthetic)
     if (ext.nonEmpty) add(s"ext:${ext.toLowerCase}", 0L, WordFlags.Synthetic)
+
+    // Extraction-time TF-IDF flag (A5/K5 — WordsTfIdfCounts.java:113-141):
+    // value = -75·(0.1 + 0.9·tf/maxTf)·ln(freq/docCount); flag terms with
+    // tf > 1 and value > 100. Needs the corpus TF dictionary (S7); without
+    // one the flag is simply not assigned, like the reference with an empty
+    // dict.
+    if (tfIdfDict != null && !tfs.isEmpty) {
+      var maxTf = 0
+      tfs.values.forEach(v => if (v > maxTf) maxTf = v)
+      tfs.forEach { (t, tf) =>
+        if (tf > 1) {
+          val v = (0.1 + 0.9 * tf / maxTf.toDouble) *
+            math.log(tfIdfDict.freq(t) / tfIdfDict.docCount)
+          if ((-v * 75).toInt > 100) flags.merge(t, WordFlags.TfIdfHigh, (a, b) => a | b)
+        }
+      }
+    }
 
     // Assemble, cap at MaxKeywordsPerDoc by tf desc (term asc tiebreak) for
     // determinism (reference caps by insertion order at ~1500).

@@ -115,9 +115,20 @@ object IndexBuilder {
   // --------------------------------------------------------------------------
   /** Full build from a corpus table (repo, path, commit, lang, content). */
   def buildFromCorpus(spark: SparkSession, corpus: DataFrame, root: String,
-                      snapshotId: String, conf: IndexConf = IndexConf()): Snapshots.Manifest = {
+                      snapshotId: String, conf: IndexConf = IndexConf()): Snapshots.Manifest =
+    buildFromCorpusWithDict(spark, corpus, root, snapshotId, conf, null)
+
+  /** Full build with an optional corpus TF dictionary (S7) driving the
+    * `TfIdfHigh` extraction flag (A5/K5) — compute one with
+    * [[TermFreqDict.compute]] + [[TermFreqDict.collectDict]], typically from
+    * a prior snapshot or a sample, exactly like the reference's offline
+    * term-frequency-extractor tool. */
+  def buildFromCorpusWithDict(spark: SparkSession, corpus: DataFrame, root: String,
+                              snapshotId: String, conf: IndexConf,
+                              tfIdfDict: graft.analysis.TfIdfDict): Snapshots.Manifest = {
     import spark.implicits._
     configureCommitter(spark)
+    val bDict = spark.sparkContext.broadcast(tfIdfDict)
     val dir = Snapshots.stagingDir(root, snapshotId).toString
 
     // -- stage: journal (tokenize + deterministic id assignment) ------------
@@ -153,7 +164,8 @@ object IndexBuilder {
         .as[(String, String, String, String, String, Int, Int)]
         .map { case (repo, path, commit, lang, content, urlId, domainId) =>
           val rank = repoRank(repo)
-          val a = Tokenizer.analyze(repo, path, lang, content, rank)
+          val a = Tokenizer.analyze(repo, path, lang, content, rank,
+            tfIdfDict = bDict.value)
           JournalRow(
             doc_id = DocId.combine(domainId, urlId),
             url_id = urlId, domain_id = domainId, rank = rank,
