@@ -179,6 +179,24 @@ class IndexPipelineSpec extends AnyFunSuite {
     }
   }
 
+  // --- salted layout (head-term skew knob) ------------------------------------
+  test("saltByRange layout answers queries identically to the default layout") {
+    val rootA = freshRoot(); val rootB = freshRoot()
+    IndexBuilder.buildFromJournal(spark, Fixtures.factorsJournal(spark), rootA, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 4, saltByRange = false))
+    IndexBuilder.buildFromJournal(spark, Fixtures.factorsJournal(spark), rootB, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 4, saltByRange = true))
+    val specs = Seq(
+      QuerySpec(Seq(Subquery(include = Seq("2")))),          // head term (df 255)
+      QuerySpec(Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4")))),
+      QuerySpec(Seq(Subquery(include = Seq("7", "3"), priority = Seq("63")))))
+    specs.foreach { s =>
+      val a = QueryEngine.search(spark, QueryEngine.open(rootA), s)
+      val b = QueryEngine.search(spark, QueryEngine.open(rootB), s)
+      assert(a == b, s"layouts disagree for $s")
+    }
+  }
+
   // --- resumability (north rule) ---------------------------------------------
   test("killed build resumes from stage markers and commits an identical index") {
     val root = freshRoot()

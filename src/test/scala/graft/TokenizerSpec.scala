@@ -44,6 +44,26 @@ class TokenizerSpec extends AnyFunSuite {
     assert((WordMeta.flags(b.keywords.find(_.term == "rare").get.meta) & WordFlags.TfIdfHigh) == 0)
   }
 
+  test("QueryParser grammar: quotes, ops, limits, degenerate input") {
+    import graft.query.{QueryParser, SpecLimit}
+    val s = QueryParser.parse("\"alpha beta\" foo -bar ?baz lang:scala year>2000 q<5 rank=3 size>10")
+    val sq = s.subqueries.head
+    assert(sq.include == Seq("alpha", "beta", "foo"))
+    assert(sq.exclude == Seq("bar"))
+    assert(sq.priority == Seq("baz"))
+    assert(sq.advice == Seq("lang:scala"))
+    assert(sq.coherences == Seq(Seq("alpha", "beta")))
+    assert(s.year == SpecLimit.greaterThan(2000))
+    assert(s.quality == SpecLimit.lessThan(5))
+    assert(s.rank == SpecLimit.equalTo(3))
+    assert(s.size == SpecLimit.greaterThan(10))
+    // degenerate inputs parse without blowing up
+    assert(QueryParser.parse("").subqueries.head.include.isEmpty)
+    assert(QueryParser.parse("\"unclosed").subqueries.head.include == Seq("unclosed"))
+    assert(QueryParser.parse("-").subqueries.head.include == Seq("-"))
+    assert(QueryParser.parse("FOO Foo foo").subqueries.head.include == Seq("foo"))
+  }
+
   test("TermFreqDict job computes corpus df through the same front-end") {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "8")
