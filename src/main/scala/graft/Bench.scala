@@ -94,6 +94,9 @@ object Bench {
     val nDocs = repos.toLong * filesPerRepo
     val work = benchRoot()
     workDir = work.toString
+    // tmpfs hygiene: reclaim the work dir even if a build throws
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try rm(work) catch { case _: Throwable => }))
 
     // ---- 1. operator suite at full advertised parallelism -------------------
     val sparkSuite = session(suiteCores)

@@ -144,6 +144,7 @@ object SparkEntry {
     "d2_minhash_sig" -> ((s, dir) => DedupOps.minhashSignatures(docs(s, dir))),
     "d2b_lsh_pairs" -> ((s, dir) => DedupOps.lshCandidatePairs(docs(s, dir))),
     "d3_simhash" -> ((s, dir) => DedupOps.simhash16(docs(s, dir))),
+    "d5_dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docs(s, dir), 3)),
     "d4_jaccard_pairs" -> ((s, dir) => DedupOps.jaccardPairs(docs(s, dir), 100L, 0.8)),
 
     // -- similarity search over embeddings -----------------------------------
@@ -388,6 +389,8 @@ object SparkEntry {
          |  FROM th CROSS JOIN generate_series(0, 15) AS g(b) GROUP BY doc_id, b)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "d5_dedup_components" -> DedupOps.dedupComponentsOracleSql(3),
 
     "d4_jaccard_pairs" ->
       s"""WITH $TokCte,

@@ -80,6 +80,67 @@ object DedupOps {
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
       .orderBy("doc_id")
 
+  /** Duplicate clusters from the LSH candidate pairs: connected components
+    * by iterative min-label propagation (label = min doc_id reachable in
+    * ≤ `iters` hops — enough for the shallow near-dup clusters LSH yields;
+    * a full pipeline would loop to fixpoint with a convergence check).
+    * Returns (doc_id, component) for every doc in at least one pair.
+    * Scale: each iteration is one join keyed by doc_id over the PAIR set
+    * (bounded by real near-dup volume, not corpus size). */
+  def dedupComponents(docs: DataFrame, iters: Int = 3): DataFrame = {
+    val pairs = lshCandidatePairs(docs)
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("component", col("doc_id"))
+    for (_ <- 1 to iters) {
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("component").as("n_comp"))
+      labels = labels.join(fromNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+    }
+    labels.orderBy("doc_id")
+  }
+
+  /** Matching DuckDB oracle for [[dedupComponents]] (chained CTEs per
+    * iteration over the same band construction as d2b). */
+  def dedupComponentsOracleSql(iters: Int): String = {
+    val mins = Perms.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $MinHashP) AS mh$j"
+    }.mkString(", ")
+    val base =
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, i, toks[i] AS term FROM d CROSS JOIN generate_series(1, 8192) AS t(i)
+         |      WHERE i <= len(toks)),
+         |sh AS (SELECT p.doc_id AS doc_id,
+         |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
+         |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
+         |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2),
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 * 31 + mh1 AS v FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig),
+         |prs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM prs UNION ALL SELECT b_id, a_id FROM prs),
+         |l0 AS (SELECT DISTINCT src AS doc_id, src AS component FROM edges)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (SELECT l.doc_id,
+         |  least(l.component, coalesce(min(n.component), l.component)) AS component
+         |  FROM l${i - 1} l
+         |  LEFT JOIN edges e ON e.src = l.doc_id
+         |  LEFT JOIN l${i - 1} n ON n.doc_id = e.dst
+         |  GROUP BY l.doc_id, l.component)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT doc_id, component FROM l$iters ORDER BY doc_id"
+  }
+
   /** n-gram (token-set) Jaccard similarity for candidate pairs with
     * doc_id < `idBound` (bounded pair universe; at scale the candidate set
     * comes from lshCandidatePairs instead of an id cut). */
