@@ -175,14 +175,19 @@ object QueryEngine {
       .filter(r => rangeSet.contains(r.getLong(1)))
       .map(_.getInt(2).toLong).sum
 
-    val prunedPostings = postings.where($"doc_range".isin(ranges.toSeq: _*))
+    // range pruning: literal IN-list while small; a broadcast semi-join once
+    // the list would bloat the expression tree (big-df rarest terms at scale)
+    def pruneToRanges(df: DataFrame): DataFrame =
+      if (ranges.length <= 8192) df.where($"doc_range".isin(ranges.toSeq: _*))
+      else df.join(broadcast(ranges.toSeq.toDF("doc_range")), Seq("doc_range"), "left_semi")
+
+    val prunedPostings = pruneToRanges(postings)
       .select($"term_hash", $"doc_range", $"n", $"max_pos_count",
         $"blob", $"skip_docs", $"skip_offs",
         lit(null).cast("binary").as("blob_domain"),
         lit(null).cast("array<bigint>").as("dom_skip_docs"),
         lit(null).cast("array<int>").as("dom_skip_offs"))
-    val fwd = index.fwd
-      .where($"doc_range".isin(ranges.toSeq: _*))
+    val fwd = pruneToRanges(index.fwd)
       .select(lit(0L).as("term_hash"), $"doc_range", $"n",
         lit(-1).as("max_pos_count"),
         $"blob_meta".as("blob"), $"meta_skip_docs".as("skip_docs"),
