@@ -90,7 +90,7 @@ object Bench {
     // high-parallelism side is the noisy one (observed 14.6k–26.3k docs/sec
     // for identical runs), the low side is stable — hence the asymmetry.
     val triesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_HI", "3").toInt
-    val triesLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_LO", "2").toInt
+    val triesLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_LO", "1").toInt
     val nDocs = repos.toLong * filesPerRepo
     val work = benchRoot()
     workDir = work.toString
