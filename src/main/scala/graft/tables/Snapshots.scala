@@ -129,6 +129,29 @@ object Snapshots {
     else None
   }
 
+  /** Expire old snapshots, keeping the newest `keep` plus whatever the
+    * current pointer references (readers holding older handles must reopen —
+    * same contract as the reference's file swap, which deletes the previous
+    * index outright). Returns the ids removed. */
+  def expireSnapshots(root: String, keep: Int): Seq[String] = {
+    val snapsDir = Paths.get(root, "snapshots")
+    if (!Files.isDirectory(snapsDir)) return Nil
+    val current = currentSnapshotId(root)
+    val all = Files.list(snapsDir).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .toSeq.sorted
+    val doomed = all.dropRight(keep).filterNot(current.contains)
+    doomed.foreach { id =>
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(stagingDir(root, id))
+    }
+    doomed
+  }
+
   /** Stage-completion marker: cheap resumability ledger per stage. */
   def markStageDone(root: String, snapshotId: String, stage: String): Unit = {
     val dir = stagingDir(root, snapshotId)

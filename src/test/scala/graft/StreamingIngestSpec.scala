@@ -62,5 +62,12 @@ class StreamingIngestSpec extends AnyFunSuite {
     StreamingIngest.ingestAvailable(spark, corpusDir, root)
     StreamingIngest.compact(spark, root, "snap-3", IndexConf(numBuckets = 8, docRangeShift = 8))
     assert(QueryEngine.open(root).manifest.docCount == 1024, "dedup by (repo,path,commit) failed")
+
+    // snapshot GC: keep 1 → snap-1 goes, the current snap-3 stays queryable
+    val removed = graft.tables.Snapshots.expireSnapshots(root, keep = 2)
+    assert(removed == Seq("snap-1"), s"removed=$removed")
+    assert(QueryEngine.open(root).manifest.snapshotId == "snap-3")
+    assert(QueryEngine.search(spark, QueryEngine.open(root),
+      QuerySpec(Seq(Subquery(include = Seq("tok000"))))).nonEmpty)
   }
 }
