@@ -10,6 +10,13 @@ final case class Keyword(term: String, meta: Long, tf: Int)
   * length); `docMeta` is the packed document metadata. */
 final case class DocAnalysis(keywords: Array[Keyword], length: Int, docMeta: Long)
 
+/** Mutable per-term aggregation cell used inside [[Tokenizer.analyze]]. */
+private[analysis] final class TermAgg {
+  var mask: Long = 0L
+  var tf: Int = 0
+  var flags: Int = 0
+}
+
 /** Corpus-wide term frequencies for extraction-time TF-IDF (the reference's
   * term-frequency dictionary, TermFrequencyDict.java). Absent terms read as
   * frequency 1 (the reference's clamp, WordsTfIdfCounts.java:139-141). */
@@ -107,8 +114,22 @@ object Tokenizer {
   }
 
   /** Normalize to the stored term form: ASCII-flatten + lower-case
-    * (AsciiFlattener + SentenceExtractorStringUtils analog). */
+    * (AsciiFlattener + SentenceExtractorStringUtils analog). Already-normal
+    * tokens (the common case in code) return themselves — no allocation. */
   def normalize(token: String): String = {
+    var i = 0
+    val n = token.length
+    while (i < n) {
+      val c = token.charAt(i)
+      if (c >= 128 || (c >= 'A' && c <= 'Z')) return normalizeSlow(token)
+      i += 1
+    }
+    if (n >= 2 && token.charAt(n - 2) == '\'' && token.charAt(n - 1) == 's')
+      token.substring(0, n - 2)
+    else token
+  }
+
+  private def normalizeSlow(token: String): String = {
     val sb = new StringBuilder(token.length)
     var i = 0
     while (i < token.length) {
@@ -161,16 +182,18 @@ object Tokenizer {
               repoRank: Int = DocMeta.UnknownRank, yearByte: Int = 0,
               tfIdfDict: TfIdfDict = null): DocAnalysis = {
     val lines = content.split('\n')
-    val masks = new java.util.HashMap[String, Long](256)
-    val tfs   = new java.util.HashMap[String, Int](256)
-    val flags = new java.util.HashMap[String, Int](256)
+    // one map, one mutable cell per term — the three-map/boxed-merge version
+    // of this aggregation was the analyze hot path's top allocator
+    val agg = new java.util.HashMap[String, TermAgg](256)
     var totalTokens = 0
 
     def add(term: String, posBit: Long, flag: Int): Unit = {
       if (term.nonEmpty && !isJunk(term)) {
-        masks.merge(term, posBit, (a, b) => a | b)
-        tfs.merge(term, 1, (a, b) => a + b)
-        if (flag != 0) flags.merge(term, flag, (a, b) => a | b)
+        var cell = agg.get(term)
+        if (cell == null) { cell = new TermAgg; agg.put(term, cell) }
+        cell.mask |= posBit
+        cell.tf += 1
+        cell.flags |= flag
       }
     }
 
@@ -234,22 +257,28 @@ object Tokenizer {
     // tf > 1 and value > 100. Needs the corpus TF dictionary (S7); without
     // one the flag is simply not assigned, like the reference with an empty
     // dict.
-    if (tfIdfDict != null && !tfs.isEmpty) {
+    if (tfIdfDict != null && !agg.isEmpty) {
       var maxTf = 0
-      tfs.values.forEach(v => if (v > maxTf) maxTf = v)
-      tfs.forEach { (t, tf) =>
-        if (tf > 1) {
-          val v = (0.1 + 0.9 * tf / maxTf.toDouble) *
+      agg.values.forEach(c => if (c.tf > maxTf) maxTf = c.tf)
+      agg.forEach { (t, cell) =>
+        if (cell.tf > 1) {
+          val v = (0.1 + 0.9 * cell.tf / maxTf.toDouble) *
             math.log(tfIdfDict.freq(t) / tfIdfDict.docCount)
-          if ((-v * 75).toInt > 100) flags.merge(t, WordFlags.TfIdfHigh, (a, b) => a | b)
+          if ((-v * 75).toInt > 100) cell.flags |= WordFlags.TfIdfHigh
         }
       }
     }
 
     // Assemble, cap at MaxKeywordsPerDoc by tf desc (term asc tiebreak) for
     // determinism (reference caps by insertion order at ~1500).
-    var kws = masks.keySet().toArray(Array.empty[String]).map { t =>
-      Keyword(t, WordMeta.encode(masks.get(t), flags.getOrDefault(t, 0)), tfs.get(t))
+    var kws: Array[Keyword] = new Array[Keyword](agg.size)
+    var ki = 0
+    val aggIt = agg.entrySet().iterator()
+    while (aggIt.hasNext) {
+      val e = aggIt.next()
+      val c = e.getValue
+      kws(ki) = Keyword(e.getKey, WordMeta.encode(c.mask, c.flags), c.tf)
+      ki += 1
     }
     if (kws.length > MaxKeywordsPerDoc) {
       kws = kws.sortBy(k => (-k.tf, k.term)).take(MaxKeywordsPerDoc)
