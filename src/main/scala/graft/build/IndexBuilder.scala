@@ -141,7 +141,16 @@ object IndexBuilder {
       // key — uniformly distributed, AQE-broadcast when small — so the
       // expensive tokenize map below runs at full scan/join parallelism.
       val slim = corpus.select($"repo", $"path", $"commit")
-      val repoDim = slim.groupBy($"repo").agg(count(lit(1)).as("n_docs"))
+      // (repo, path, commit) is the corpus primary key (BASELINE input_hint);
+      // a duplicate would multiply rows quadratically through the id join
+      // below, so fail fast with a clear error — one cheap agg over the slim
+      // projection, checked driver-side off the already-needed repoDim job.
+      val repoDim0 = slim.groupBy($"repo").agg(count(lit(1)).as("n_docs"),
+        countDistinct($"path", $"commit").as("n_keys"))
+      val dup = repoDim0.where($"n_docs" =!= $"n_keys").select($"repo").take(1)
+      require(dup.isEmpty,
+        s"corpus has duplicate (repo, path, commit) keys, e.g. in repo '${dup.headOption.map(_.getString(0)).getOrElse("")}' — deduplicate the corpus before buildFromCorpus")
+      val repoDim = repoDim0.drop("n_keys")
         .withColumn("repo_id", (row_number().over(Window.orderBy($"repo")) - 1))
         .withColumn("repo_offset",
           coalesce(sum($"n_docs").over(Window.orderBy($"repo")

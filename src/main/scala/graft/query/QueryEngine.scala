@@ -104,6 +104,17 @@ object QueryEngine {
     lazy val termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
     lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
     lazy val fwd: DataFrame = spark.read.parquet(s"$dir/fwd")
+    /** (doc_range → doc count) directory, cached on the driver when the range
+      * count is bounded (≤1M ranges ≈ 16 MB) — lets the planner budget the
+      * forward-block volume of the local-eval fast path without a per-query
+      * job. None at larger scale: the planner then runs a tiny pruned
+      * directory job instead (a 10^12-doc snapshot has too many ranges to
+      * pin driver-side, and its queries are not sub-100ms anyway). */
+    lazy val fwdDir: Option[Map[Long, Int]] =
+      if ((manifest.docCount >> manifest.docRangeShift) <= (1L << 20))
+        Some(fwd.select("doc_range", "n").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+      else None
   }
 
   def open(root: String): Index = open(root, SparkSession.active)
@@ -214,8 +225,21 @@ object QueryEngine {
       docRangeShift = index.manifest.docRangeShift,
       pruning = spec.pruning)
 
+    // the local fast path collects the pruned ranges' FORWARD blobs too —
+    // budget them (a rare term spread over many ranges has few postings but
+    // lots of forward data; collecting it unbudgeted risks driver OOM)
+    val fwdInPlay: Long =
+      if (postingsInPlay > spec.localEvalMaxPostings) Long.MaxValue // moot
+      else index.fwdDir match {
+        case Some(m) => ranges.iterator.map(r => m.getOrElse(r, 0).toLong).sum
+        case None =>
+          val r = pruneToRanges(index.fwd.select($"doc_range", $"n"))
+            .agg(sum($"n")).collect()(0)
+          if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+
     val candidates: Array[Candidate] =
-      if (postingsInPlay <= spec.localEvalMaxPostings) {
+      if (postingsInPlay + fwdInPlay <= spec.localEvalMaxPostings) {
         // ---- driver-local kernel: one fetch job, no shuffle stage ----------
         // ranges ascend = best domain rank first, and a single Selection
         // tightens the WAND threshold globally
@@ -366,6 +390,7 @@ object QueryKernel {
       *           every range without priority-term postings).
       */
     def nonPrioThreshold: Double = {
+      if (limitTotal <= 0) return Double.NegativeInfinity // degenerate: nothing can enter
       if (!dirty) return cachedThreshold
       dirty = false
       val ordered = all.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))

@@ -133,18 +133,24 @@ object Snapshots {
     * current pointer references (readers holding older handles must reopen —
     * same contract as the reference's file swap, which deletes the previous
     * index outright). Returns the ids removed. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def expireSnapshots(root: String, keep: Int): Seq[String] = {
     val snapsDir = Paths.get(root, "snapshots")
     if (!Files.isDirectory(snapsDir)) return Nil
     val current = currentSnapshotId(root)
-    val all = Files.list(snapsDir).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .toSeq.sorted
+    // "newest" by directory mtime, not name: caller-chosen ids like
+    // snap-9/snap-10 sort lexicographically in the wrong order
+    val all = listDir(snapsDir)(_.filter(Files.isDirectory(_))
+      .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      .toSeq).sortBy { case (id, mtime) => (mtime, id) }.map(_._1)
     val doomed = all.dropRight(keep).filterNot(current.contains)
     doomed.foreach { id =>
       def rm(p: Path): Unit = {
-        if (Files.isDirectory(p)) Files.list(p).iterator().asScala.toSeq.foreach(rm)
+        if (Files.isDirectory(p)) listDir(p)(_.toSeq).foreach(rm)
         Files.deleteIfExists(p)
       }
       rm(stagingDir(root, id))
