@@ -144,14 +144,19 @@ object SparkEntry {
     "d2_minhash_sig" -> ((s, dir) => DedupOps.minhashSignatures(docs(s, dir))),
     "d2b_lsh_pairs" -> ((s, dir) => DedupOps.lshCandidatePairs(docs(s, dir))),
     "d3_simhash" -> ((s, dir) => DedupOps.simhash16(docs(s, dir))),
-    "d5_dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docs(s, dir), 3)),
+    "d5_dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docs(s, dir))),
     "d4_jaccard_pairs" -> ((s, dir) => DedupOps.jaccardPairs(docs(s, dir), 100L, 0.8)),
+    "d4b_jaccard_verify" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.jaccardVerify(d, DedupOps.lshCandidatePairs(d), 0.5)
+    }),
 
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
     "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
+    "v2b_cosine_verify" -> ((s, dir) => VectorOps.cosineVerify(emb(s, dir), 0.35)),
     "v3_lsh_bucket" -> ((s, dir) => VectorOps.lshBuckets(emb(s, dir))),
-    "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)), // rows-only
+    "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)),
 
     // -- text analysis (T1-T4) ------------------------------------------------
     "t1_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
@@ -196,6 +201,14 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------------------
+
+  /** DuckDB expression for the 4-plane sign bucket of `embedding` —
+    * oracle-side mirror of [[VectorOps.bucketExpr]]. */
+  private val LshBucketSqlExpr: String = (0 until 4).map { j =>
+    val w = VectorOps.hyperplaneWeights(64, j)
+      .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+    s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
 
   /** Tokenization CTE shared by the text oracles (DuckDB dialect). */
   private val TokCte =
@@ -361,25 +374,11 @@ object SparkEntry {
          |SELECT doc_id, $mins FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
-    "d2b_lsh_pairs" -> {
-      val mins = DedupOps.Perms.zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a * h + $b) % ${DedupOps.MinHashP}) AS mh$j"
-      }.mkString(", ")
-      s"""WITH $TokPosCte,
-         |sh AS (SELECT p.doc_id AS doc_id,
-         |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
-         |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
-         |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2),
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 * 31 + mh1 AS v FROM sig UNION ALL
-         |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig)
-         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+    "d2b_lsh_pairs" ->
+      s"""WITH ${DedupOps.lshCteSql}
+         |SELECT a_id, b_id FROM prs ORDER BY a_id, b_id""".stripMargin,
+
+    "d4b_jaccard_verify" -> DedupOps.jaccardVerifyOracleSql(0.5),
 
     "d3_simhash" ->
       s"""WITH $TokCte,
@@ -390,7 +389,7 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "d5_dedup_components" -> DedupOps.dedupComponentsOracleSql(3),
+    "d5_dedup_components" -> DedupOps.dedupComponentsOracleSql(8),
 
     "d4_jaccard_pairs" ->
       s"""WITH $TokCte,
@@ -416,14 +415,24 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE)
         |ORDER BY a_id, b_id""".stripMargin,
 
-    "v3_lsh_bucket" -> {
-      val planes = (0 until 4).map { j =>
-        val w = VectorOps.hyperplaneWeights(64, j)
-          .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
-        s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, CAST($planes AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id"
-    },
+    "v3_lsh_bucket" ->
+      s"SELECT vec_id, CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings ORDER BY vec_id",
+
+    "v2b_cosine_verify" ->
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.e, b.e), 4) AS cos
+         |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "v4_ivf_topk" ->
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings),
+         |q AS (SELECT e AS qe, bucket AS qb FROM s WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos
+         |FROM s CROSS JOIN q WHERE bit_count(xor(bucket, qb)) <= 1 AND vec_id <> 0
+         |ORDER BY round(list_cosine_similarity(e, qe), 4) DESC, vec_id LIMIT 20""".stripMargin,
 
     "t1_langid" -> {
       val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Deduplication operators for training-data curation over
   * `documents(doc_id, text, ...)` — exact, MinHash+LSH, SimHash, and n-gram
@@ -35,23 +34,37 @@ object DedupOps {
         (257L, 4093L), (1021L, 65537L), (4093L, 131101L), (65537L, 524287L))
   final val MinHashP = 2147483647L
 
-  /** 3-token shingles with their 30-bit hash, one row per position. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    TextOps.tokensPos(docs)
-      .withColumn("t2", lead("term", 1).over(w))
-      .withColumn("t3", lead("term", 2).over(w))
-      .where(col("t2").isNotNull && col("t3").isNotNull)
-      .withColumn("sh", concat_ws(" ", col("term"), col("t2"), col("t3")))
-      .select(col("doc_id"), TextOps.h30(col("sh")).as("h"))
+  /** Per-row array of 3-token-shingle 30-bit hashes over the raw split
+    * (empty tokens hold their position, mirroring DuckDB `toks[i]`). Shingle
+    * adjacency is row-local in `split(text)`, so this is a pure projection —
+    * codegen'd higher-order functions, zero shuffle (the round-1 form
+    * exploded positions through a per-doc window `lead`, moving the entire
+    * token stream through an exchange to recompute what this computes in
+    * place). */
+  private def shingleHashArr: Column = {
+    val toks = split(col("text"), " ")
+    val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => TextOps.h30(concat_ws(" ",
+      element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
   }
 
-  /** MinHash signature: mh_j = min over shingles of (a_j·h + b_j) mod p. */
+  /** 3-token shingles with their 30-bit hash, one row per position. */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingleHashArr).as("h"))
+
+  /** MinHash signature: mh_j = min over shingles of (a_j·h + b_j) mod p.
+    * Entirely row-local (narrow map over the shingle-hash array — the only
+    * exchange in the plan is the output sort). Docs with fewer than 3 tokens
+    * have no shingles and are dropped, as before. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val aggs = Perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % MinHashP).as(s"mh$j")
+    val sigCols = Perms.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("hs"), h => (h * a + b) % MinHashP)).as(s"mh$j")
     }
-    shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    docs.select(col("doc_id"), shingleHashArr.as("hs"))
+      .where(size(col("hs")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+      .orderBy("doc_id")
   }
 
   /** LSH candidate pairs: 4 bands of 2 minhashes; docs sharing any band value
@@ -80,57 +93,97 @@ object DedupOps {
       .agg(sum(expr("CASE WHEN s > 0 THEN CAST(shiftleft(1, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END")).as("simhash"))
       .orderBy("doc_id")
 
-  /** Duplicate clusters from the LSH candidate pairs: connected components
-    * by iterative min-label propagation (label = min doc_id reachable in
-    * ≤ `iters` hops — enough for the shallow near-dup clusters LSH yields;
-    * a full pipeline would loop to fixpoint with a convergence check).
-    * Returns (doc_id, component) for every doc in at least one pair.
-    * Scale: each iteration is one join keyed by doc_id over the PAIR set
-    * (bounded by real near-dup volume, not corpus size). */
-  def dedupComponents(docs: DataFrame, iters: Int = 3): DataFrame = {
-    val pairs = lshCandidatePairs(docs)
+  /** Duplicate clusters from an edge list: connected components by min-label
+    * propagation TO FIXPOINT — each iteration is one join keyed by doc_id
+    * over the PAIR set (bounded by real near-dup volume, not corpus size),
+    * `localCheckpoint` per iteration cuts the otherwise-unbounded plan
+    * lineage, and the loop stops when no label changed (a convergence-count
+    * join over the checkpointed labels — a fixed iteration count would split
+    * duplicate chains deeper than it into separate components).
+    * Returns (doc_id, component) for every doc in at least one pair. */
+  def componentsFromPairs(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint() // reused every iteration; don't re-derive the pairs
     val nodes = edges.select(col("src").as("doc_id")).distinct()
-    var labels = nodes.withColumn("component", col("doc_id"))
-    for (_ <- 1 to iters) {
+    var labels = nodes.withColumn("component", col("doc_id")).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      it += 1
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("n_comp"))
-      labels = labels.join(fromNeighbors, Seq("doc_id"), "left")
+      val next = labels.join(fromNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "doc_id")
+        .where(col("n.component") =!= col("o.component")).isEmpty
+      labels = next
     }
     labels.orderBy("doc_id")
   }
 
-  /** Matching DuckDB oracle for [[dedupComponents]] (chained CTEs per
-    * iteration over the same band construction as d2b). */
-  def dedupComponentsOracleSql(iters: Int): String = {
+  /** Components over the LSH candidate pairs of `docs` (shingle → minhash →
+    * band → bucket-join → fixpoint label propagation). */
+  def dedupComponents(docs: DataFrame, maxIters: Int = 64): DataFrame =
+    componentsFromPairs(lshCandidatePairs(docs), maxIters)
+
+  /** Shared DuckDB CTE chain (tokens → shingles → minhash sigs → bands →
+    * distinct candidate pairs `prs`) — the oracle-side mirror of
+    * [[lshCandidatePairs]], reused by d2b/d4b/d5. */
+  def lshCteSql: String = {
     val mins = Perms.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $MinHashP) AS mh$j"
     }.mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, i, toks[i] AS term FROM d CROSS JOIN generate_series(1, 8192) AS t(i)
+       |      WHERE i <= len(toks)),
+       |sh AS (SELECT p.doc_id AS doc_id,
+       |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
+       |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
+       |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2),
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 * 31 + mh1 AS v FROM sig UNION ALL
+       |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
+       |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
+       |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig),
+       |prs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Matching DuckDB oracle for [[jaccardVerify]] over [[lshCandidatePairs]]. */
+  def jaccardVerifyOracleSql(minJaccard: Double): String =
+    s"""WITH ${lshCteSql},
+       |t AS (SELECT DISTINCT doc_id, term FROM p WHERE term <> ''),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+       |inter AS (SELECT pr.a_id, pr.b_id, count(*) AS inter FROM prs pr
+       |  JOIN t ta ON ta.doc_id = pr.a_id
+       |  JOIN t tb ON tb.doc_id = pr.b_id AND tb.term = ta.term
+       |  GROUP BY pr.a_id, pr.b_id)
+       |SELECT i.a_id AS a_id, i.b_id AS b_id,
+       |round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id
+       |WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6) >= CAST($minJaccard AS DOUBLE)
+       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Matching DuckDB oracle for [[dedupComponents]] (chained CTEs per
+    * iteration over the same band construction as d2b). `iters` must be at
+    * least the propagation depth the data needs — the Spark side runs to
+    * fixpoint, so any sufficient count matches. */
+  def dedupComponentsOracleSql(iters: Int): String = {
+    // MATERIALIZED: each l_i references l_{i-1} twice — without the hint
+    // DuckDB inlines CTEs, re-expanding the whole chain 2^iters times (at
+    // 8 iterations that exhausts file handles re-scanning the base table)
     val base =
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |p AS (SELECT doc_id, i, toks[i] AS term FROM d CROSS JOIN generate_series(1, 8192) AS t(i)
-         |      WHERE i <= len(toks)),
-         |sh AS (SELECT p.doc_id AS doc_id,
-         |  ('0x' || substring(md5(p.term || ' ' || p2.term || ' ' || p3.term), 1, 15))::BIGINT % 1073741824 AS h
-         |  FROM p JOIN p p2 ON p2.doc_id = p.doc_id AND p2.i = p.i + 1
-         |         JOIN p p3 ON p3.doc_id = p.doc_id AND p3.i = p.i + 2),
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 * 31 + mh1 AS v FROM sig UNION ALL
-         |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig),
-         |prs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id),
-         |edges AS (SELECT a_id AS src, b_id AS dst FROM prs UNION ALL SELECT b_id, a_id FROM prs),
-         |l0 AS (SELECT DISTINCT src AS doc_id, src AS component FROM edges)""".stripMargin
+      s"""WITH ${lshCteSql},
+         |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prs UNION ALL SELECT b_id, a_id FROM prs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS component FROM edges)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""l$i AS (SELECT l.doc_id,
+      s"""l$i AS MATERIALIZED (SELECT l.doc_id,
          |  least(l.component, coalesce(min(n.component), l.component)) AS component
          |  FROM l${i - 1} l
          |  LEFT JOIN edges e ON e.src = l.doc_id
@@ -141,9 +194,32 @@ object DedupOps {
       s"\nSELECT doc_id, component FROM l$iters ORDER BY doc_id"
   }
 
+  /** Exact token-set Jaccard for a CANDIDATE PAIR table (a_id, b_id) — the
+    * scale path: LSH proposes, this verifies. Token sets are aggregated only
+    * for docs appearing in a pair (semi-join pushdown), then each pair is two
+    * id-keyed joins + a row-local `array_intersect` — no all-pairs join
+    * anywhere in the plan. Compose as
+    * `jaccardVerify(docs, lshCandidatePairs(docs), j)`. */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, minJaccard: Double): DataFrame = {
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val sets = TextOps.tokens(docs.join(ids, Seq("doc_id"), "left_semi"))
+      .groupBy("doc_id").agg(collect_set(col("term")).as("ts"))
+    pairs.select("a_id", "b_id")
+      .join(sets.select(col("doc_id").as("a_id"), col("ts").as("a_ts")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("ts").as("b_ts")), "b_id")
+      .withColumn("inter", size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
+      .withColumn("jaccard", round(expr(
+        "inter / cast(size(a_ts) + size(b_ts) - inter as double)"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
   /** n-gram (token-set) Jaccard similarity for candidate pairs with
-    * doc_id < `idBound` (bounded pair universe; at scale the candidate set
-    * comes from lshCandidatePairs instead of an id cut). */
+    * doc_id < `idBound` (bounded pair universe — kept as the oracle-friendly
+    * bounded form; the scale path is [[jaccardVerify]] over
+    * [[lshCandidatePairs]]). */
   def jaccardPairs(docs: DataFrame, idBound: Long, minJaccard: Double): DataFrame = {
     val toks = TextOps.tokens(docs).where(col("doc_id") < idBound)
       .select("doc_id", "term").distinct()

@@ -32,13 +32,17 @@ object RelationalOps {
     val n = nodes.count()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     var ranks = nodes.withColumn("r", expr(s"CAST(1.0 AS DOUBLE) / $n"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = edges.join(deg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("r / d").as("c"))
       ranks = nodes.join(contribs.groupBy("id").agg(sum("c").as("cs")), Seq("id"), "left")
         .select(col("id"), expr(
           s"CAST(0.15 AS DOUBLE) / $n + CAST(0.85 AS DOUBLE) * coalesce(cs, CAST(0 AS DOUBLE))").as("r"))
+      // cut the otherwise-unbounded plan lineage — at the reference's 100
+      // iterations (RankingAlgorithm.java:141-188) an unchecked chain of 100
+      // joins overwhelms the optimizer and the task-serialization path
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
   }

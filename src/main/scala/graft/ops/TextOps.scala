@@ -124,13 +124,18 @@ object TextOps {
   }
 
   /** Phrase match via positions: docs where `w1` is immediately followed by
-    * `w2` (the coherence/position-mask analog, SURVEY §2.10 R3 / K4). */
+    * `w2` (the coherence/position-mask analog, SURVEY §2.10 R3 / K4).
+    * Row-local `exists` over the split array — token adjacency never leaves
+    * the row, so the scan is a pure filter with zero shuffle (round 1 pushed
+    * every token position through a per-doc window `lead`). Assumes doc_id
+    * is unique in `docs` (it is the documents table's key). */
   def phraseMatch(docs: DataFrame, w1: String, w2: String): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("i")
-    tokensPos(docs)
-      .withColumn("nxt", lead("term", 1).over(w))
-      .where(col("term") === w1 && col("nxt") === w2)
-      .select("doc_id").distinct().orderBy("doc_id")
+    val toks = split(col("text"), " ")
+    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
+      .otherwise(array().cast("array<int>"))
+    docs.where(exists(idx, i =>
+        element_at(toks, i) === w1 && element_at(toks, i + 1) === w2))
+      .select("doc_id").orderBy("doc_id")
   }
 
   /** T1: stopword-ratio language ID (n-gram-heuristic analog). */

