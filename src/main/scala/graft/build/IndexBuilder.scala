@@ -73,7 +73,8 @@ final case class TermStatsRow(bucket: Int, term_hash: Long, df_full: Long, df_pr
   *                      numBuckets ≥ cluster cores either way.
   */
 final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16,
-                           saltByRange: Boolean = false)
+                           saltByRange: Boolean = false,
+                           buildPrioTier: Boolean = false)
 
 /** Index build pipeline (SURVEY §3.2 Spark rebuild):
   *
@@ -210,10 +211,15 @@ object IndexBuilder {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
 
-    val stageDocsF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
-      journal.drop("keywords").write.mode("overwrite").parquet(s"$dir/documents")
-      Snapshots.markStageDone(root, snapshotId, StageDocs)
-    }}
+    val stageDocsF = Future {
+      if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
+        journal.drop("keywords").write.mode("overwrite").parquet(s"$dir/documents")
+        Snapshots.markStageDone(root, snapshotId, StageDocs)
+      }
+      // manifest docCount: counted here so the job overlaps the other stage
+      // futures instead of adding a serial tail after the barrier
+      spark.read.parquet(s"$dir/documents").count()
+    }
 
     // Exploded postings: one row per (term, doc). rank_doc_id is the posting
     // sort key — (domainRank << 32) | urlId, best-ranked docs first
@@ -237,8 +243,15 @@ object IndexBuilder {
     }}
 
     // -- stage: priority-tier posting blocks (docIds only, records with any
-    //    priority flag — ReverseIndexPriorityParameters.java:14-28) ----------
-    val stagePrioF = Future { if (!Snapshots.isStageDone(root, snapshotId, StagePrio)) {
+    //    priority flag — ReverseIndexPriorityParameters.java:14-28). OFF by
+    //    default: the query engine's scoring needs only df_prio (term_stats);
+    //    the reference consults the prio tier as a recall-trading champion
+    //    list inside its fetch budget (SearchIndex.createQueries:93-157),
+    //    whereas this engine's block-max WAND is exact — paying a second
+    //    full shuffle+encode every build for an unread table was round 1's
+    //    biggest dead cost. Enable for workloads that want the tier on disk.
+    val stagePrioF = Future { if (conf.buildPrioTier &&
+        !Snapshots.isStageDone(root, snapshotId, StagePrio)) {
       val prio = explodedPostings.filter(p => (p.term_meta & WordFlags.PriorityMask) != 0L)
       encodeBlocks(prio, conf, StagePrio, lineageAcc, keepMeta = false)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings_prio")
@@ -306,12 +319,13 @@ object IndexBuilder {
     }}
 
     Await.result(
-      Future.sequence(Seq(stageDocsF, stagePostingsF, stagePrioF, stageStatsF, stageFwdF)),
+      Future.sequence(Seq[Future[Any]](stageDocsF, stagePostingsF, stageStatsF, stageFwdF, stagePrioF)),
       Duration.Inf)
-    val docCount = spark.read.parquet(s"$dir/documents").count()
+    val docCount = Await.result(stageDocsF, Duration.Inf)
     val manifest = Snapshots.Manifest(
       snapshotId, docCount, conf.numBuckets, conf.docRangeShift,
-      Seq(StageJournal, StageDocs, StagePostings, StagePrio, StageStats, StageFwd),
+      Seq(StageJournal, StageDocs, StagePostings) ++
+        (if (conf.buildPrioTier) Seq(StagePrio) else Nil) ++ Seq(StageStats, StageFwd),
       scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
     Snapshots.writeManifest(root, manifest)
     Snapshots.commit(root, snapshotId)

@@ -104,6 +104,18 @@ object QueryEngine {
     lazy val termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
     lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
     lazy val fwd: DataFrame = spark.read.parquet(s"$dir/fwd")
+    /** Forward blocks pinned on the driver in kernel row form, keyed by
+      * doc_range — the Spark analog of the reference's always-in-RAM forward
+      * index (ForwardIndexReader.java:53-71). With this cache the local-eval
+      * fast path collects ONLY the query's posting blobs; bounded by
+      * docCount ≤ 4M (≈ tens of MB of encoded blocks). None at larger
+      * scale: the planner then fetches pruned forward blocks per query,
+      * budgeted by [[fwdDir]]. */
+    lazy val fwdRowCache: Option[Map[Long, org.apache.spark.sql.Row]] =
+      if (manifest.docCount <= (1L << 22))
+        Some(QueryEngine.fwdUnified(fwd).collect()
+          .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
+      else None
     /** (doc_range → doc count) directory, cached on the driver when the range
       * count is bounded (≤1M ranges ≈ 16 MB) — lets the planner budget the
       * forward-block volume of the local-eval fast path without a per-query
@@ -116,6 +128,16 @@ object QueryEngine {
           .map(r => r.getLong(0) -> r.getInt(1)).toMap)
       else None
   }
+
+  /** Forward-block rows renamed into the kernel's unified posting-row schema
+    * (term_hash 0 sentinel; blob_domain non-null marks the forward row). */
+  private[query] def fwdUnified(df: DataFrame): DataFrame =
+    df.select(lit(0L).as("term_hash"), col("doc_range"), col("n"),
+      lit(-1).as("max_pos_count"),
+      col("blob_meta").as("blob"), col("meta_skip_docs").as("skip_docs"),
+      col("meta_skip_offs").as("skip_offs"),
+      col("blob_domain"), col("dom_skip_docs"), col("dom_skip_offs"),
+      col("min_rank"), col("max_asl"), col("min_quality"), col("max_topology"))
 
   def open(root: String): Index = open(root, SparkSession.active)
 
@@ -198,14 +220,6 @@ object QueryEngine {
         lit(null).cast("binary").as("blob_domain"),
         lit(null).cast("array<bigint>").as("dom_skip_docs"),
         lit(null).cast("array<int>").as("dom_skip_offs"))
-    val fwd = pruneToRanges(index.fwd)
-      .select(lit(0L).as("term_hash"), $"doc_range", $"n",
-        lit(-1).as("max_pos_count"),
-        $"blob_meta".as("blob"), $"meta_skip_docs".as("skip_docs"),
-        $"meta_skip_offs".as("skip_offs"),
-        $"blob_domain", $"dom_skip_docs", $"dom_skip_offs",
-        $"min_rank", $"max_asl", $"min_quality", $"max_topology")
-    val tagged = prunedPostings.unionByName(fwd, allowMissingColumns = true)
 
     val kSpec = KernelSpec(
       subqueries = liveSubqueries.map(sq => KernelSubquery(
@@ -225,11 +239,14 @@ object QueryEngine {
       docRangeShift = index.manifest.docRangeShift,
       pruning = spec.pruning)
 
-    // the local fast path collects the pruned ranges' FORWARD blobs too —
-    // budget them (a rare term spread over many ranges has few postings but
-    // lots of forward data; collecting it unbudgeted risks driver OOM)
+    // the local fast path without the handle's forward cache also collects
+    // the pruned ranges' FORWARD blobs — budget them (a rare term spread
+    // over many ranges has few postings but lots of forward data; collecting
+    // it unbudgeted risks driver OOM). With the cache, forward data never
+    // moves per-query, so only postings count against the budget.
     val fwdInPlay: Long =
-      if (postingsInPlay > spec.localEvalMaxPostings) Long.MaxValue // moot
+      if (index.fwdRowCache.isDefined) 0L
+      else if (postingsInPlay > spec.localEvalMaxPostings) Long.MaxValue // moot
       else index.fwdDir match {
         case Some(m) => ranges.iterator.map(r => m.getOrElse(r, 0).toLong).sum
         case None =>
@@ -240,15 +257,24 @@ object QueryEngine {
 
     val candidates: Array[Candidate] =
       if (postingsInPlay + fwdInPlay <= spec.localEvalMaxPostings) {
-        // ---- driver-local kernel: one fetch job, no shuffle stage ----------
-        // ranges ascend = best domain rank first, and a single Selection
-        // tightens the WAND threshold globally
-        val rows = tagged.collect()
-        val ord = Ordering.by[org.apache.spark.sql.Row, (Long, Long)](r =>
-          (r.getLong(r.fieldIndex("doc_range")), r.getLong(r.fieldIndex("term_hash"))))
-        QueryKernel.evaluatePartition(kSpec)(rows.sorted(ord).iterator).toArray
+        // ---- driver-local kernel: ONE posting-fetch job, no shuffle stage;
+        // forward blocks come from the handle cache (or one pruned fetch).
+        // Ranges ascend = best domain rank first, and a single Selection
+        // tightens the WAND threshold globally.
+        val fwdByRange: Map[Long, org.apache.spark.sql.Row] =
+          index.fwdRowCache.getOrElse(
+            fwdUnified(pruneToRanges(index.fwd)).collect()
+              .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
+        val postingRows = prunedPostings.collect()
+        val byRange = postingRows.groupBy(_.getLong(1)) // schema: term_hash, doc_range, ...
+        val rows = ranges.sorted.iterator.flatMap { rg =>
+          byRange.getOrElse(rg, Array.empty).sortBy(_.getLong(0)) ++ fwdByRange.get(rg)
+        }
+        QueryKernel.evaluatePartition(kSpec)(rows).toArray
       } else {
         // ---- distributed kernel: one shuffle by doc_range ------------------
+        val tagged = prunedPostings.unionByName(
+          fwdUnified(pruneToRanges(index.fwd)), allowMissingColumns = true)
         val bSpec = spark.sparkContext.broadcast(kSpec)
         tagged
           .repartition(col("doc_range"))
