@@ -178,14 +178,29 @@ object Tokenizer {
     * @param repoRank domain rank 0..255 (0 best) for doc_meta
     * @param yearByte encoded year byte for doc_meta
     */
+  /** Mail-like artifact pattern (ArtifactKeywords.java:10) with the
+    * reference's ignore lists. */
+  private val mailLike =
+    "[a-zA-Z0-9._\\-]+@[a-zA-Z0-9]+(\\.[a-zA-Z0-9]+)+".r.pattern
+  private val ignoredMailDomains = Set("@hotmail.com", "@gmail.com", "@paypal.com")
+  private val ignoredMailUsers = Set("info", "legal", "contact", "press",
+    "donotreply", "noreply", "no-reply", "admin", "root")
+
   def analyze(repo: String, path: String, lang: String, content: String,
               repoRank: Int = DocMeta.UnknownRank, yearByte: Int = 0,
-              tfIdfDict: TfIdfDict = null): DocAnalysis = {
+              tfIdfDict: TfIdfDict = null, stem: Boolean = false): DocAnalysis = {
     val lines = content.split('\n')
     // one map, one mutable cell per term — the three-map/boxed-merge version
     // of this aggregation was the analyze hot path's top allocator
     val agg = new java.util.HashMap[String, TermAgg](256)
     var totalTokens = 0
+
+    // stored term form: normalize, then optionally Porter-stem (C2 — the
+    // reference stems every non-synthetic term, SentenceExtractor.java:196-208)
+    def termOf(raw: String): String = {
+      val t = normalize(raw)
+      if (stem) Porter.stem(t) else t
+    }
 
     def add(term: String, posBit: Long, flag: Int): Unit = {
       if (term.nonEmpty && !isJunk(term)) {
@@ -204,9 +219,9 @@ object Tokenizer {
     if (firstIdx >= 0) {
       val toks = splitLine(lines(firstIdx))
       toks.foreach { raw =>
-        val t = normalize(raw)
+        val t = termOf(raw)
         if (isIndexableWord(raw)) add(t, 1L, WordFlags.Title)
-        identifierParts(raw).foreach(p => add(normalize(p), 1L, WordFlags.Title))
+        identifierParts(raw).foreach(p => add(termOf(p), 1L, WordFlags.Title))
       }
     }
 
@@ -220,9 +235,9 @@ object Tokenizer {
         val posBit = (1L << linePos.pos()) & PositionMask
         toks.foreach { raw =>
           totalTokens += 1
-          val t = normalize(raw)
+          val t = termOf(raw)
           if (isIndexableWord(raw)) add(t, posBit, 0)
-          identifierParts(raw).foreach(p => add(normalize(p), posBit, 0))
+          identifierParts(raw).foreach(p => add(termOf(p), posBit, 0))
         }
         linePos.next(toks.length)
       }
@@ -233,12 +248,12 @@ object Tokenizer {
     // repo tokens → UrlDomain. They ride position bit 0 semantics (mask 0 is
     // fine — flags drive their scoring through the prio tier).
     splitLine(path).foreach { raw =>
-      val t = normalize(raw)
+      val t = termOf(raw)
       if (isIndexableWord(raw)) add(t, 0L, WordFlags.UrlPath)
-      identifierParts(raw).foreach(p => add(normalize(p), 0L, WordFlags.UrlPath))
+      identifierParts(raw).foreach(p => add(termOf(p), 0L, WordFlags.UrlPath))
     }
     splitLine(repo).foreach { raw =>
-      val t = normalize(raw)
+      val t = termOf(raw)
       if (isIndexableWord(raw)) add(t, 0L, WordFlags.UrlDomain)
     }
 
@@ -251,6 +266,32 @@ object Tokenizer {
     add(s"lang:${lang.toLowerCase}", 0L, WordFlags.Synthetic)
     add(s"repo:${repo.toLowerCase}", 0L, WordFlags.Synthetic)
     if (ext.nonEmpty) add(s"ext:${ext.toLowerCase}", 0L, WordFlags.Synthetic)
+
+    // Artifact keywords (K8 — ArtifactKeywords.java:17-44): mail-like tokens
+    // emit the address plus user/domain variants as synthetic terms, with the
+    // reference's ignore lists; never stemmed, bypass the shape gate.
+    var ali = 0
+    while (ali < lines.length) {
+      val line = lines(ali)
+      if (line.indexOf('@') >= 0) {
+        val mm = mailLike.matcher(line)
+        while (mm.find()) {
+          val lc = mm.group().toLowerCase
+          if (lc.length >= 6) {
+            val at = lc.indexOf('@')
+            add(lc, 0L, WordFlags.Synthetic)
+            val domain = lc.substring(at)
+            val user = lc.substring(0, at)
+            if (!ignoredMailDomains.contains(domain)) {
+              add(domain.substring(1), 0L, WordFlags.Synthetic)
+              add(domain, 0L, WordFlags.Synthetic)
+            }
+            if (!ignoredMailUsers.contains(user)) add(user, 0L, WordFlags.Synthetic)
+          }
+        }
+      }
+      ali += 1
+    }
 
     // Extraction-time TF-IDF flag (A5/K5 — WordsTfIdfCounts.java:113-141):
     // value = -75·(0.1 + 0.9·tf/maxTf)·ln(freq/docCount); flag terms with

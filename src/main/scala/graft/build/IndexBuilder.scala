@@ -74,7 +74,8 @@ final case class TermStatsRow(bucket: Int, term_hash: Long, df_full: Long, df_pr
   */
 final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16,
                            saltByRange: Boolean = false,
-                           buildPrioTier: Boolean = false)
+                           buildPrioTier: Boolean = false,
+                           stemming: Boolean = false)
 
 /** Index build pipeline (SURVEY §3.2 Spark rebuild):
   *
@@ -130,6 +131,7 @@ object IndexBuilder {
     import spark.implicits._
     configureCommitter(spark)
     val bDict = spark.sparkContext.broadcast(tfIdfDict)
+    val stemConf = conf.stemming
     val dir = Snapshots.stagingDir(root, snapshotId).toString
 
     // -- stage: journal (tokenize + deterministic id assignment) ------------
@@ -175,7 +177,7 @@ object IndexBuilder {
         .map { case (repo, path, commit, lang, content, urlId, domainId) =>
           val rank = repoRank(repo)
           val a = Tokenizer.analyze(repo, path, lang, content, rank,
-            tfIdfDict = bDict.value)
+            tfIdfDict = bDict.value, stem = stemConf)
           JournalRow(
             doc_id = DocId.combine(domainId, urlId),
             url_id = urlId, domain_id = domainId, rank = rank,
@@ -326,6 +328,8 @@ object IndexBuilder {
       snapshotId, docCount, conf.numBuckets, conf.docRangeShift,
       Seq(StageJournal, StageDocs, StagePostings) ++
         (if (conf.buildPrioTier) Seq(StagePrio) else Nil) ++ Seq(StageStats, StageFwd),
+      stemming = conf.stemming,
+      lineage =
       scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
     Snapshots.writeManifest(root, manifest)
     Snapshots.commit(root, snapshotId)

@@ -155,7 +155,15 @@ object QueryEngine {
     val allTerms: Seq[String] = spec.subqueries.flatMap(sq =>
       sq.include ++ sq.exclude ++ sq.priority ++ sq.advice).distinct
     if (allTerms.isEmpty || spec.subqueries.forall(_.include.isEmpty)) return Nil
-    val termHash: Map[String, Long] = allTerms.map(t => t -> Hashes.termHash(t)).toMap
+    // query terms must hash to the index's stored form: when the snapshot was
+    // built with Porter stemming (C2), stem everything except synthetic
+    // `:`-terms — same rule the tokenizer applied at build time
+    val termHash: Map[String, Long] = allTerms.map { t =>
+      val stored =
+        if (index.manifest.stemming && !t.contains(":")) graft.analysis.Porter.stem(t)
+        else t
+      t -> Hashes.termHash(stored)
+    }.toMap
     val hashes = termHash.values.toSeq.distinct
     val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
 
