@@ -188,7 +188,8 @@ object Tokenizer {
 
   def analyze(repo: String, path: String, lang: String, content: String,
               repoRank: Int = DocMeta.UnknownRank, yearByte: Int = 0,
-              tfIdfDict: TfIdfDict = null, stem: Boolean = false): DocAnalysis = {
+              tfIdfDict: TfIdfDict = null, stem: Boolean = false,
+              ngrams: Boolean = false): DocAnalysis = {
     val lines = content.split('\n')
     // one map, one mutable cell per term — the three-map/boxed-merge version
     // of this aggregation was the analyze hot path's top allocator
@@ -233,10 +234,21 @@ object Tokenizer {
       val toks = splitLine(lines(li))
       if (toks.nonEmpty) {
         val posBit = (1L << linePos.pos()) & PositionMask
+        // K3 analog: adjacent-token 2-gram spans, underscore-joined like the
+        // reference's word spans (KeywordExtractor.java:107-177 emits 1-4
+        // token POS-matched spans; without a POS model we emit every adjacent
+        // indexable pair — configurable because it roughly doubles journal
+        // volume). Quoted queries retrieve through these (a_b advice terms).
+        var prevOk: String = null
         toks.foreach { raw =>
           totalTokens += 1
           val t = termOf(raw)
-          if (isIndexableWord(raw)) add(t, posBit, 0)
+          val ok = isIndexableWord(raw)
+          if (ok) add(t, posBit, 0)
+          if (ngrams) {
+            if (ok && prevOk != null) add(prevOk + "_" + t, posBit, 0)
+            prevOk = if (ok) t else null
+          }
           identifierParts(raw).foreach(p => add(termOf(p), posBit, 0))
         }
         linePos.next(toks.length)

@@ -75,7 +75,9 @@ final case class TermStatsRow(bucket: Int, term_hash: Long, df_full: Long, df_pr
 final case class IndexConf(numBuckets: Int = 32, docRangeShift: Int = 16,
                            saltByRange: Boolean = false,
                            buildPrioTier: Boolean = false,
-                           stemming: Boolean = false)
+                           stemming: Boolean = false,
+                           ngrams: Boolean = false,
+                           siteWords: Boolean = false)
 
 /** Index build pipeline (SURVEY §3.2 Spark rebuild):
   *
@@ -95,6 +97,7 @@ object IndexBuilder {
   final val StagePrio     = "postings_prio"
   final val StageStats    = "term_stats"
   final val StageFwd      = "fwd"
+  final val StageSite     = "journal_site"
 
   def bucketOf(termHash: Long, numBuckets: Int): Int =
     (((termHash % numBuckets) + numBuckets) % numBuckets).toInt
@@ -132,6 +135,7 @@ object IndexBuilder {
     configureCommitter(spark)
     val bDict = spark.sparkContext.broadcast(tfIdfDict)
     val stemConf = conf.stemming
+    val ngramConf = conf.ngrams
     val dir = Snapshots.stagingDir(root, snapshotId).toString
 
     // -- stage: journal (tokenize + deterministic id assignment) ------------
@@ -144,16 +148,7 @@ object IndexBuilder {
       // key — uniformly distributed, AQE-broadcast when small — so the
       // expensive tokenize map below runs at full scan/join parallelism.
       val slim = corpus.select($"repo", $"path", $"commit")
-      // (repo, path, commit) is the corpus primary key (BASELINE input_hint);
-      // a duplicate would multiply rows quadratically through the id join
-      // below, so fail fast with a clear error — one cheap agg over the slim
-      // projection, checked driver-side off the already-needed repoDim job.
-      val repoDim0 = slim.groupBy($"repo").agg(count(lit(1)).as("n_docs"),
-        countDistinct($"path", $"commit").as("n_keys"))
-      val dup = repoDim0.where($"n_docs" =!= $"n_keys").select($"repo").take(1)
-      require(dup.isEmpty,
-        s"corpus has duplicate (repo, path, commit) keys, e.g. in repo '${dup.headOption.map(_.getString(0)).getOrElse("")}' — deduplicate the corpus before buildFromCorpus")
-      val repoDim = repoDim0.drop("n_keys")
+      val repoDim = slim.groupBy($"repo").agg(count(lit(1)).as("n_docs"))
         .withColumn("repo_id", (row_number().over(Window.orderBy($"repo")) - 1))
         .withColumn("repo_offset",
           coalesce(sum($"n_docs").over(Window.orderBy($"repo")
@@ -177,7 +172,7 @@ object IndexBuilder {
         .map { case (repo, path, commit, lang, content, urlId, domainId) =>
           val rank = repoRank(repo)
           val a = Tokenizer.analyze(repo, path, lang, content, rank,
-            tfIdfDict = bDict.value, stem = stemConf)
+            tfIdfDict = bDict.value, stem = stemConf, ngrams = ngramConf)
           JournalRow(
             doc_id = DocId.combine(domainId, urlId),
             url_id = urlId, domain_id = domainId, rank = rank,
@@ -190,7 +185,19 @@ object IndexBuilder {
       Snapshots.markStageDone(root, snapshotId, StageJournal)
     }
 
-    val journal = spark.read.parquet(s"$dir/journal")
+    val journalRaw = spark.read.parquet(s"$dir/journal")
+    // -- optional stage: Site flag pass (K7) — staged so the downstream
+    // concurrent stages read the augmented journal once, not per-stage
+    val journal =
+      if (!conf.siteWords) journalRaw
+      else {
+        if (!Snapshots.isStageDone(root, snapshotId, StageSite)) {
+          SiteWords.flagCommonSiteWords(journalRaw)
+            .write.mode("overwrite").parquet(s"$dir/journal_site")
+          Snapshots.markStageDone(root, snapshotId, StageSite)
+        }
+        spark.read.parquet(s"$dir/journal_site")
+      }
     buildFromJournal(spark, journal, root, snapshotId, conf)
   }
 
@@ -212,6 +219,18 @@ object IndexBuilder {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+
+    // (repo, path, commit) is the corpus primary key (BASELINE input_hint);
+    // a duplicate multiplies rows quadratically through the id join and
+    // shows up as repeated doc_ids in the journal — validate CONCURRENTLY
+    // with the other stages (no serial tail) and fail before the snapshot
+    // can commit, which is the actual integrity boundary.
+    val validateF = Future {
+      val dup = journal.groupBy($"doc_id").agg(count(lit(1)).as("c"))
+        .where($"c" > 1L).select($"doc_id").take(1)
+      require(dup.isEmpty,
+        s"journal has duplicate doc_id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} — corpus (repo, path, commit) keys are not unique; deduplicate before building")
+    }
 
     val stageDocsF = Future {
       if (!Snapshots.isStageDone(root, snapshotId, StageDocs)) {
@@ -321,7 +340,7 @@ object IndexBuilder {
     }}
 
     Await.result(
-      Future.sequence(Seq[Future[Any]](stageDocsF, stagePostingsF, stageStatsF, stageFwdF, stagePrioF)),
+      Future.sequence(Seq[Future[Any]](stageDocsF, stagePostingsF, stageStatsF, stageFwdF, stagePrioF, validateF)),
       Duration.Inf)
     val docCount = Await.result(stageDocsF, Duration.Inf)
     val manifest = Snapshots.Manifest(
@@ -329,6 +348,7 @@ object IndexBuilder {
       Seq(StageJournal, StageDocs, StagePostings) ++
         (if (conf.buildPrioTier) Seq(StagePrio) else Nil) ++ Seq(StageStats, StageFwd),
       stemming = conf.stemming,
+      ngrams = conf.ngrams,
       lineage =
       scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
     Snapshots.writeManifest(root, manifest)

@@ -56,7 +56,8 @@ final case class QuerySpec(
     limitTotal: Int = 10,
     params: RankingParams = RankingParams(),
     pruning: Boolean = true,
-    localEvalMaxPostings: Long = 262_144L)
+    localEvalMaxPostings: Long = 262_144L,
+    fetchBudget: Long = 0L)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -116,18 +117,32 @@ object QueryEngine {
         Some(QueryEngine.fwdUnified(fwd).collect()
           .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
       else None
-    /** (doc_range → doc count) directory, cached on the driver when the range
-      * count is bounded (≤1M ranges ≈ 16 MB) — lets the planner budget the
-      * forward-block volume of the local-eval fast path without a per-query
-      * job. None at larger scale: the planner then runs a tiny pruned
-      * directory job instead (a 10^12-doc snapshot has too many ranges to
-      * pin driver-side, and its queries are not sub-100ms anyway). */
-    lazy val fwdDir: Option[Map[Long, Int]] =
+    /** (doc_range → doc count + doc-meta extremes) directory, cached on the
+      * driver when the range count is bounded (≤1M ranges) — budgets the
+      * local fast path's forward volume AND gives the progressive-fetch
+      * planner real per-range block-max statistics (tight WAND bounds before
+      * anything is fetched). None at larger scale: the planner then runs a
+      * tiny pruned directory job / falls back to optimistic bounds. */
+    lazy val fwdDir: Option[Map[Long, QueryEngine.FwdDirEntry]] =
       if ((manifest.docCount >> manifest.docRangeShift) <= (1L << 20))
-        Some(fwd.select("doc_range", "n").collect()
-          .map(r => r.getLong(0) -> r.getInt(1)).toMap)
+        Some(fwd.select("doc_range", "n", "min_rank", "max_asl",
+            "min_quality", "max_topology").collect()
+          .map(r => r.getLong(0) -> QueryEngine.FwdDirEntry(r.getInt(1),
+            QueryKernel.RangeStats(r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap)
+      else None
+    /** term_hash → (df_full, df_prio), pinned on the driver when the
+      * vocabulary is bounded — the reference keeps its lexicon in RAM the
+      * same way. Removes BOTH planner metadata jobs from small-df queries:
+      * selectivities and term liveness are answered without touching Spark. */
+    lazy val statsCache: Option[Map[Long, (Long, Long)]] =
+      if (manifest.docCount <= (1L << 22))
+        Some(termStats.select("term_hash", "df_full", "df_prio").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
       else None
   }
+
+  /** One forward-directory entry: range doc count + doc-meta extremes. */
+  final case class FwdDirEntry(n: Int, stats: QueryKernel.RangeStats)
 
   /** Forward-block rows renamed into the kernel's unified posting-row schema
     * (term_hash 0 sentinel; blob_domain non-null marks the forward row). */
@@ -149,8 +164,24 @@ object QueryEngine {
 
   // -------------------------------------------------------------------------
 
-  def search(spark: SparkSession, index: Index, spec: QuerySpec): Seq[SearchResult] = {
+  def search(spark: SparkSession, index: Index, spec0: QuerySpec): Seq[SearchResult] = {
     import spark.implicits._
+
+    // Phrase spans (K3): on an n-gram index each quoted phrase's adjacent
+    // pair becomes a required `a_b` advice term — exact-adjacency retrieval,
+    // the reference's joined-phrase advice path
+    // (QuerySearchTermsAccumulator.java:24-101); the coherence mask stays as
+    // the position-group backstop. Parts are stemmed to the stored form when
+    // the index is stemmed (the tokenizer joined stemmed parts).
+    val spec: QuerySpec =
+      if (!index.manifest.ngrams) spec0
+      else spec0.copy(subqueries = spec0.subqueries.map { sq =>
+        def stored(t: String) =
+          if (index.manifest.stemming && !t.contains(":")) graft.analysis.Porter.stem(t) else t
+        val spans = sq.coherences.filter(_.size >= 2)
+          .flatMap(_.map(stored).sliding(2).map(_.mkString("_")).toSeq)
+        sq.copy(advice = (sq.advice ++ spans).distinct)
+      })
 
     val allTerms: Seq[String] = spec.subqueries.flatMap(sq =>
       sq.include ++ sq.exclude ++ sq.priority ++ sq.advice).distinct
@@ -167,31 +198,41 @@ object QueryEngine {
     val hashes = termHash.values.toSeq.distinct
     val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
 
-    // ---- planner: two CONCURRENT metadata jobs ------------------------------
-    // (a) per-term prio document frequencies from term_stats;
-    // (b) the (term, range, n) directory of the query's posting blocks —
-    //     column-pruned, no blobs. Full-tier df = Σn per term (one posting
-    //     per (term, doc)), so (b) also yields df_full; (a) is only needed
-    //     for the prio-tier df used by the scorer.
+    // ---- planner metadata ---------------------------------------------------
+    // With the handle's pinned stats (small snapshots): df lookups are
+    // driver-local, and a query whose total posting volume fits the local
+    // budget skips the block-directory job entirely — ONE Spark job total.
+    // Without the cache: two concurrent metadata jobs (term_stats + block
+    // directory), as at 10^12-doc scale.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
     val postings = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-    val statsF = Future {
-      index.termStats
-        .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-        .select($"term_hash", $"df_prio")
-        .collect()
+    // (term_hash, doc_range, n, max_pos_count): block directory — everything
+    // the WAND planner needs, no blobs
+    def collectDir(): Array[org.apache.spark.sql.Row] =
+      postings.select($"term_hash", $"doc_range", $"n", $"max_pos_count").collect()
+    var blockDir: Array[org.apache.spark.sql.Row] = null
+    val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = index.statsCache match {
+      case Some(m) =>
+        (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
+         hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
+      case None =>
+        val statsF = Future {
+          index.termStats
+            .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+            .select($"term_hash", $"df_prio")
+            .collect()
+        }
+        val dirF = Future { collectDir() }
+        blockDir = Await.result(dirF, Duration.Inf)
+        val dp = Await.result(statsF, Duration.Inf)
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // full-tier df = Σn per term (one posting per (term, doc))
+        (blockDir.groupBy(_.getLong(0))
+          .map { case (h, rows) => h -> rows.map(_.getInt(2).toLong).sum }, dp)
     }
-    val dirF = Future {
-      postings.select($"term_hash", $"doc_range", $"n").collect()
-    }
-    val blockDir = Await.result(dirF, Duration.Inf)
-    val dfPrio = Await.result(statsF, Duration.Inf)
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val dfFull: Map[Long, Long] = blockDir.groupBy(_.getLong(0))
-      .map { case (h, rows) => h -> rows.map(_.getInt(2).toLong).sum }
     val docCount = index.manifest.docCount
 
     // a subquery whose include term is absent can never match (reference
@@ -202,32 +243,11 @@ object QueryEngine {
     if (liveSubqueries.isEmpty) return Nil
 
     // doc ranges of the rarest include term per subquery bound the candidate
-    // universe; union across subqueries — computed from the block directory,
-    // no extra job
+    // universe (the reference orders terms by selectivity the same way,
+    // SearchIndex.compareKeywords:159-171); union across subqueries
     val rarestTerms: Set[Long] = liveSubqueries.map { sq =>
       termHash(sq.include.minBy(t => dfFull.getOrElse(termHash(t), Long.MaxValue)))
     }.toSet
-    val ranges: Array[Long] = blockDir.iterator
-      .filter(r => rarestTerms.contains(r.getLong(0)))
-      .map(_.getLong(1)).toArray.distinct
-    if (ranges.isEmpty) return Nil
-    val rangeSet = ranges.toSet
-    val postingsInPlay: Long = blockDir.iterator
-      .filter(r => rangeSet.contains(r.getLong(1)))
-      .map(_.getInt(2).toLong).sum
-
-    // range pruning: literal IN-list while small; a broadcast semi-join once
-    // the list would bloat the expression tree (big-df rarest terms at scale)
-    def pruneToRanges(df: DataFrame): DataFrame =
-      if (ranges.length <= 8192) df.where($"doc_range".isin(ranges.toSeq: _*))
-      else df.join(broadcast(ranges.toSeq.toDF("doc_range")), Seq("doc_range"), "left_semi")
-
-    val prunedPostings = pruneToRanges(postings)
-      .select($"term_hash", $"doc_range", $"n", $"max_pos_count",
-        $"blob", $"skip_docs", $"skip_offs",
-        lit(null).cast("binary").as("blob_domain"),
-        lit(null).cast("array<bigint>").as("dom_skip_docs"),
-        lit(null).cast("array<int>").as("dom_skip_offs"))
 
     val kSpec = KernelSpec(
       subqueries = liveSubqueries.map(sq => KernelSubquery(
@@ -247,52 +267,251 @@ object QueryEngine {
       docRangeShift = index.manifest.docRangeShift,
       pruning = spec.pruning)
 
-    // the local fast path without the handle's forward cache also collects
-    // the pruned ranges' FORWARD blobs — budget them (a rare term spread
-    // over many ranges has few postings but lots of forward data; collecting
-    // it unbudgeted risks driver OOM). With the cache, forward data never
-    // moves per-query, so only postings count against the budget.
+    val unifiedPostingCols = Seq(
+      col("term_hash"), col("doc_range"), col("n"), col("max_pos_count"),
+      col("blob"), col("skip_docs"), col("skip_offs"),
+      lit(null).cast("binary").as("blob_domain"),
+      lit(null).cast("array<bigint>").as("dom_skip_docs"),
+      lit(null).cast("array<int>").as("dom_skip_offs"))
+
+    // Parallel driver-local evaluation: ranges are interleaved across worker
+    // threads (rank order spreads evenly), each thread runs its own Selection
+    // seeded with the phase-start threshold (conservative — skips are exact),
+    // per-thread emits are concatenated. Returns (candidates, scored count).
+    def evalRangesParallel(ranges: Array[Long],
+                           byRange: collection.Map[Long, Array[org.apache.spark.sql.Row]],
+                           fwdByRange: collection.Map[Long, org.apache.spark.sql.Row],
+                           seed: Double): (Array[Candidate], Long) = {
+      def evalChunk(chunk: Array[Long]): (Array[Candidate], Long) = {
+        val sel = new QueryKernel.Selection(spec.limitTotal, spec.limitByDomain, seed)
+        val rows = chunk.iterator.flatMap { rg =>
+          byRange.getOrElse(rg, Array.empty[org.apache.spark.sql.Row])
+            .sortBy(_.getLong(0)) ++ fwdByRange.get(rg)
+        }
+        QueryKernel.evaluateInto(kSpec, rows, sel)
+        (sel.emit().toArray, sel.scored)
+      }
+      val k = math.min(16, Runtime.getRuntime.availableProcessors())
+      if (ranges.length <= 4 || k <= 1) evalChunk(ranges.sorted)
+      else {
+        val sorted = ranges.sorted
+        val chunks = Array.fill(k)(scala.collection.mutable.ArrayBuffer.empty[Long])
+        var i = 0
+        while (i < sorted.length) { chunks(i % k) += sorted(i); i += 1 }
+        val futs = chunks.filter(_.nonEmpty).map(c => Future(evalChunk(c.toArray)))
+        val rs = futs.map(Await.result(_, Duration.Inf))
+        (rs.toArray.flatMap(_._1), rs.iterator.map(_._2).sum)
+      }
+    }
+
+    def runLocalKernel(postingRows: Array[org.apache.spark.sql.Row],
+                       ranges: Array[Long],
+                       fwdByRange: collection.Map[Long, org.apache.spark.sql.Row]): Array[Candidate] =
+      evalRangesParallel(ranges,
+        postingRows.groupBy(_.getLong(1)), fwdByRange, Double.PositiveInfinity)._1
+
+    // ---- single-job fast path: Σ df over every query term is modest and the
+    // handle pins stats + forward blocks — fetch ALL of the query's posting
+    // blocks in one job, derive the candidate ranges from the fetched rows,
+    // evaluate on the driver with the parallel kernel. This is the common
+    // interactive query against a served snapshot. The cap is 16× the
+    // collect budget for exact queries (one fetch job beats a directory job
+    // + batched fetches when score-pruning can't bite — a few tens of MB on
+    // the driver, the reference holds the whole index in RAM); budgeted
+    // queries keep the tight cap so early termination can skip fetch volume.
+    val totalDf = hashes.iterator.map(h => dfFull.getOrElse(h, 0L)).sum
+    val singleJobCap =
+      if (spec.fetchBudget > 0) spec.localEvalMaxPostings
+      else spec.localEvalMaxPostings * 16
+    if (blockDir == null && index.fwdRowCache.isDefined &&
+        totalDf <= singleJobCap) {
+      val postingRows = postings.select(unifiedPostingCols: _*).collect()
+      val byTermRows = postingRows.groupBy(_.getLong(0))
+      val ranges = rarestTerms.iterator
+        .flatMap(h => byTermRows.getOrElse(h, Array.empty).iterator.map(_.getLong(1)))
+        .toArray.distinct
+      if (ranges.isEmpty) return Nil
+      return selectBest(runLocalKernel(postingRows, ranges, index.fwdRowCache.get), spec)
+    }
+
+    // ---- directory path (big queries / uncached handles) --------------------
+    if (blockDir == null) blockDir = collectDir()
+
+    // candidate universe: ranges of the rarest include term per subquery
+    val rangeSet: java.util.HashSet[java.lang.Long] = {
+      val hs = new java.util.HashSet[java.lang.Long]()
+      blockDir.foreach(r => if (rarestTerms.contains(r.getLong(0))) hs.add(r.getLong(1)))
+      hs
+    }
+    if (rangeSet.isEmpty) return Nil
+
+    // per-range directory: which query terms are present (with their block-max
+    // position counts) and how many postings the range holds — everything the
+    // WAND planner needs BEFORE fetching a single blob
+    val termsByRange = new java.util.HashMap[Long, java.util.HashMap[Long, Int]]()
+    val volByRange = new java.util.HashMap[Long, Long]()
+    blockDir.foreach { r =>
+      val rg = r.getLong(1)
+      if (rangeSet.contains(rg)) {
+        var m = termsByRange.get(rg)
+        if (m == null) { m = new java.util.HashMap[Long, Int](); termsByRange.put(rg, m) }
+        m.put(r.getLong(0), r.getInt(3))
+        volByRange.merge(rg, r.getInt(2).toLong, (a, b) => a + b)
+      }
+    }
+
+    val prioHashes: Set[Long] = liveSubqueries.flatMap(_.priority.map(termHash)).toSet
+    val requiredBySq: Seq[Seq[Long]] =
+      liveSubqueries.map(sq => (sq.include ++ sq.advice).map(termHash))
+    val optimisticStats = QueryKernel.RangeStats(0, 3, 0, 255)
+
+    // matchability: a range where no subquery has ALL its required terms can
+    // produce no candidate — drop it before any data motion (the kernel gate
+    // would skip it after the shuffle; this skips the shuffle)
+    final case class RInfo(range: Long, vol: Long, hasPrio: Boolean, bound: Double)
+    val infos: Array[RInfo] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[RInfo]
+      val it = termsByRange.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val rg = e.getKey
+        val tmap = e.getValue
+        val matchable = requiredBySq.exists(req => req.forall(tmap.containsKey))
+        if (matchable) {
+          val rs = index.fwdDir.flatMap(_.get(rg)).map(_.stats).getOrElse(optimisticStats)
+          val bound = kSpec.subqueries.iterator
+            .map(sq => QueryKernel.variantBound(kSpec, sq,
+              h => { val v = tmap.get(h); if (tmap.containsKey(h)) v else -1 }, rs))
+            .foldLeft(Double.PositiveInfinity)(math.min)
+          out += RInfo(rg, volByRange.get(rg), prioHashes.exists(tmap.containsKey), bound)
+        }
+      }
+      out.toArray
+    }
+    if (infos.isEmpty) return Nil
+    val postingsInPlay: Long = infos.iterator.map(_.vol).sum
+
+    def pruneToRanges(df: DataFrame, rs: Array[Long]): DataFrame =
+      if (rs.length <= 8192) df.where($"doc_range".isin(rs.toSeq: _*))
+      else df.join(broadcast(rs.toSeq.toDF("doc_range")), Seq("doc_range"), "left_semi")
+
+    def fetchPostings(rs: Array[Long]): Array[org.apache.spark.sql.Row] =
+      pruneToRanges(postings, rs).select(unifiedPostingCols: _*).collect()
+
+    def fwdFor(rs: Array[Long]): collection.Map[Long, org.apache.spark.sql.Row] =
+      index.fwdRowCache.getOrElse(
+        fwdUnified(pruneToRanges(index.fwd, rs)).collect()
+          .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
+
+    // forward volume budget for the one-shot local path (uncached handles)
+    val allRanges: Array[Long] = infos.map(_.range)
     val fwdInPlay: Long =
       if (index.fwdRowCache.isDefined) 0L
       else if (postingsInPlay > spec.localEvalMaxPostings) Long.MaxValue // moot
       else index.fwdDir match {
-        case Some(m) => ranges.iterator.map(r => m.getOrElse(r, 0).toLong).sum
+        case Some(m) => allRanges.iterator.map(r => m.get(r).map(_.n.toLong).getOrElse(0L)).sum
         case None =>
-          val r = pruneToRanges(index.fwd.select($"doc_range", $"n"))
+          val r = pruneToRanges(index.fwd.select($"doc_range", $"n"), allRanges)
             .agg(sum($"n")).collect()(0)
           if (r.isNullAt(0)) 0L else r.getLong(0)
       }
 
-    val candidates: Array[Candidate] =
-      if (postingsInPlay + fwdInPlay <= spec.localEvalMaxPostings) {
-        // ---- driver-local kernel: ONE posting-fetch job, no shuffle stage;
-        // forward blocks come from the handle cache (or one pruned fetch).
-        // Ranges ascend = best domain rank first, and a single Selection
-        // tightens the WAND threshold globally.
-        val fwdByRange: Map[Long, org.apache.spark.sql.Row] =
-          index.fwdRowCache.getOrElse(
-            fwdUnified(pruneToRanges(index.fwd)).collect()
-              .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
-        val postingRows = prunedPostings.collect()
-        val byRange = postingRows.groupBy(_.getLong(1)) // schema: term_hash, doc_range, ...
-        val rows = ranges.sorted.iterator.flatMap { rg =>
-          byRange.getOrElse(rg, Array.empty).sortBy(_.getLong(0)) ++ fwdByRange.get(rg)
-        }
-        QueryKernel.evaluatePartition(kSpec)(rows).toArray
-      } else {
-        // ---- distributed kernel: one shuffle by doc_range ------------------
-        val tagged = prunedPostings.unionByName(
-          fwdUnified(pruneToRanges(index.fwd)), allowMissingColumns = true)
-        val bSpec = spark.sparkContext.broadcast(kSpec)
-        tagged
-          .repartition(col("doc_range"))
-          .sortWithinPartitions(col("doc_range"), col("term_hash"))
-          .mapPartitions(QueryKernel.evaluatePartition(bSpec.value))(
-            org.apache.spark.sql.Encoders.product[Candidate])
-          .collect()
-      }
+    if (postingsInPlay + fwdInPlay <= spec.localEvalMaxPostings) {
+      // ---- one-shot driver-local kernel: one posting-fetch job ------------
+      return selectBest(runLocalKernel(fetchPostings(allRanges), allRanges, fwdFor(allRanges)), spec)
+    }
 
-    // ---- final selection (reference selectBestResults) ----------------------
+    if (spec.localEvalMaxPostings > 0) {
+      // ---- progressive driver-local WAND fetch ----------------------------
+      // Ranges in ascending-bound order; fetch a budget's worth of posting
+      // volume per job, evaluate into ONE selection, drop every remaining
+      // range whose optimistic bound can no longer beat the threshold. A
+      // head-term query touches a couple of batches instead of shuffling its
+      // whole posting list; this is the fetch-budget role of the reference's
+      // IndexQueryExecutor budgets, made deterministic and exact.
+      // budgeted mode (spec.fetchBudget > 0): the reference's deterministic
+      // fetch-size early termination (IndexQueryExecutor budgets) — process
+      // ranges in RANK order (best documents first, the posting layout's
+      // whole point) and stop once `fetchBudget` candidates were scored.
+      // Recall-trading like the reference; exact mode is fetchBudget = 0.
+      val budgeted = spec.fetchBudget > 0
+      val sel = new QueryKernel.Selection(spec.limitTotal, spec.limitByDomain)
+      var rest: Array[RInfo] =
+        if (budgeted) infos.sortBy(_.range)
+        else infos.sortBy(i => (i.bound, i.range))
+      var batchVol: Long =
+        if (budgeted) math.max(spec.fetchBudget * 2, 32768L)
+        else spec.localEvalMaxPostings
+      var fetched = 0L
+      var scoredTotal = 0L
+      val fetchCap = spec.localEvalMaxPostings * 64
+      var spill: Array[RInfo] = Array.empty
+      while (rest.nonEmpty) {
+        val th = sel.nonPrioThreshold
+        if (th == Double.NegativeInfinity) rest = rest.filter(_.hasPrio)
+        else if (spec.pruning && th != Double.PositiveInfinity)
+          rest = rest.filter(i => i.hasPrio || i.bound <= th)
+        if (budgeted && scoredTotal >= spec.fetchBudget) rest = Array.empty
+        if (rest.nonEmpty) {
+          if (!budgeted && fetched >= fetchCap) { spill = rest; rest = Array.empty }
+          else {
+            var volAcc = 0L
+            var cut = 0
+            while (cut < rest.length && cut < 8192 && volAcc < batchVol) {
+              volAcc += rest(cut).vol; cut += 1
+            }
+            val batch = rest.take(cut)
+            rest = rest.drop(cut)
+            val brs = batch.map(_.range)
+            val fwdByRange = fwdFor(brs)
+            val byRange = fetchPostings(brs).groupBy(_.getLong(1))
+            val (cands, scored) = evalRangesParallel(brs, byRange, fwdByRange, th)
+            cands.foreach(sel.add)
+            sel.scored += scored - cands.length // adds counted once already
+            scoredTotal += scored
+            fetched += volAcc
+            batchVol *= 4 // fewer, bigger jobs when pruning can't converge
+          }
+        }
+      }
+      val local = sel.emit().toArray
+      if (spill.isEmpty) return selectBest(local, spec)
+      // pathological residue (fetch cap blown): finish distributed, seeding
+      // the kernel gate with the threshold the local phase already earned
+      val kSpec2 = kSpec.copy(seedThreshold = sel.nonPrioThreshold)
+      val spillRanges = spill.map(_.range)
+      val tagged = pruneToRanges(postings, spillRanges).select(unifiedPostingCols: _*)
+        .unionByName(fwdUnified(pruneToRanges(index.fwd, spillRanges)), allowMissingColumns = true)
+      val bSpec = spark.sparkContext.broadcast(kSpec2)
+      val distCands = tagged
+        .repartition(col("doc_range"))
+        .sortWithinPartitions(col("doc_range"), col("term_hash"))
+        .mapPartitions(QueryKernel.evaluatePartition(bSpec.value))(
+          org.apache.spark.sql.Encoders.product[Candidate])
+        .collect()
+      return selectBest(local ++ distCands, spec)
+    }
+
+    // ---- distributed kernel (localEvalMaxPostings == 0): one shuffle -------
+    val tagged = pruneToRanges(postings, allRanges).select(unifiedPostingCols: _*)
+      .unionByName(fwdUnified(pruneToRanges(index.fwd, allRanges)), allowMissingColumns = true)
+    val bSpec = spark.sparkContext.broadcast(kSpec)
+    val candidates = tagged
+      .repartition(col("doc_range"))
+      .sortWithinPartitions(col("doc_range"), col("term_hash"))
+      .mapPartitions(QueryKernel.evaluatePartition(bSpec.value))(
+        org.apache.spark.sql.Encoders.product[Candidate])
+      .collect()
+    selectBest(candidates, spec)
+  }
+
+  /** Final selection (reference selectBestResults): comparator order,
+    * greedy per-domain cap, global limit. `results_from_domain` counts within
+    * the RETURNED top-k — deterministic across evaluation paths; the
+    * reference counts its full candidate list (IndexQueryService:252-282),
+    * which depends on how many beyond-cap candidates a path surfaced and
+    * does not distribute (documented deviation). */
+  private def selectBest(candidates: Array[Candidate], spec: QuerySpec): Seq[SearchResult] = {
     val ordered = candidates.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
     val domainCounts = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
     val selected = scala.collection.mutable.ArrayBuffer.empty[Candidate]
@@ -301,11 +520,12 @@ object QueryEngine {
       if (domainCounts(c.domainId) <= spec.limitByDomain) selected += c
     }
     val top = selected.take(spec.limitTotal)
+    val topCounts = top.groupBy(_.domainId).map { case (d, cs) => d -> cs.size.toLong }
     top.map(c => SearchResult(c.urlId, c.domainId, c.ranking, c.hasPrio, c.score,
-      domainCounts(c.domainId))).toSeq
+      topCounts(c.domainId))).toSeq
   }
 
-  /** DataFrame wrapper for SparkEntry/Verify. */
+    /** DataFrame wrapper for SparkEntry/Verify. */
   def searchDF(spark: SparkSession, index: Index, spec: QuerySpec): DataFrame = {
     import spark.implicits._
     search(spark, index, spec).toDF()
@@ -333,7 +553,8 @@ final case class KernelSpec(
     params: RankingParams,
     docCount: Long,
     docRangeShift: Int,
-    pruning: Boolean)
+    pruning: Boolean,
+    seedThreshold: Double = Double.PositiveInfinity)
 
 final case class Candidate(urlId: Int, domainId: Int, ranking: Int,
                            hasPrio: Boolean, score: Double)
@@ -396,14 +617,17 @@ object QueryKernel {
     * greedy — adding candidates can only improve the kept set, so the WAND
     * threshold derived from it is monotonically tightening and skip decisions
     * are final-safe). */
-  final class Selection(limitTotal: Int, limitByDomain: Int) {
+  final class Selection(limitTotal: Int, limitByDomain: Int,
+                        seed: Double = Double.PositiveInfinity) {
     val all = scala.collection.mutable.ArrayBuffer.empty[Candidate]
+    /** total candidates ever scored into this selection (compaction-proof) */
+    var scored: Long = 0L
     private var dirty = false
     private var cachedThreshold = Double.PositiveInfinity
     private var compactFloor = 1024
 
     def add(c: Candidate): Unit = {
-      all += c; dirty = true
+      all += c; dirty = true; scored += 1
       // bound the buffer (and the threshold re-sort cost): dropping beyond
       // the per-domain cap is exactly what emit() does anyway, so compaction
       // never changes the output or the threshold
@@ -425,7 +649,7 @@ object QueryKernel {
       */
     def nonPrioThreshold: Double = {
       if (limitTotal <= 0) return Double.NegativeInfinity // degenerate: nothing can enter
-      if (!dirty) return cachedThreshold
+      if (!dirty) return math.min(cachedThreshold, seed)
       dirty = false
       val ordered = all.sortBy(c => (!c.hasPrio, c.score, c.ranking, c.urlId))
       val perDomain = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
@@ -442,7 +666,7 @@ object QueryKernel {
         if (kept < limitTotal) Double.PositiveInfinity
         else if (last.hasPrio) Double.NegativeInfinity
         else last.score
-      cachedThreshold
+      math.min(cachedThreshold, seed) // seed: bound carried in from an earlier phase
     }
 
     /** Emission: per domain only the local best `limitByDomain` can survive
@@ -465,7 +689,15 @@ object QueryKernel {
   }
 
   def evaluatePartition(spec: KernelSpec)(rows: Iterator[Row]): Iterator[Candidate] = {
-    val sel = new Selection(spec.limitTotal, spec.limitByDomain)
+    val sel = new Selection(spec.limitTotal, spec.limitByDomain, spec.seedThreshold)
+    evaluateInto(spec, rows, sel)
+    sel.emit()
+  }
+
+  /** Feed `rows` (range-contiguous) into an existing selection — lets the
+    * progressive-fetch driver evaluate range batches against ONE selection
+    * whose WAND threshold tightens across batches. */
+  def evaluateInto(spec: KernelSpec, rows: Iterator[Row], sel: Selection): Unit = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     var curRange = Long.MinValue
     var first = true
@@ -476,7 +708,6 @@ object QueryKernel {
       buf += r
     }
     flush()
-    sel.emit()
   }
 
   private def blockOf(r: Row): Block = {
@@ -504,8 +735,12 @@ object QueryKernel {
     * statistics for the document-level score part. */
   final case class RangeStats(minRank: Int, maxAsl: Int, minQuality: Int, maxTopology: Int)
 
-  private def variantBound(spec: KernelSpec, sq: KernelSubquery,
-                           byTerm: collection.Map[Long, Block], rs: RangeStats): Double = {
+  /** Driver-visible form: `maxPosOf(hash)` returns the block-max position
+    * count of the term's block in this range, or -1 when the term has no
+    * block there. Used both by the kernel gate and by the progressive-fetch
+    * planner (which knows block maxima from the directory before fetching). */
+  def variantBound(spec: KernelSpec, sq: KernelSubquery,
+                   maxPosOf: Long => Int, rs: RangeStats): Double = {
     val p = spec.params
     val regular = sq.include.filterNot(_.term.contains(":"))
     if (regular.isEmpty) return 10.0
@@ -513,10 +748,10 @@ object QueryKernel {
     var allPresent = true
     var minMaxPos = 56
     regular.foreach { t =>
-      byTerm.get(t.hash) match {
-        case Some(b) =>
-          val c = b.maxPosCount.toDouble
-          minMaxPos = math.min(minMaxPos, b.maxPosCount)
+      maxPosOf(t.hash) match {
+        case mp if mp >= 0 =>
+          val c = mp.toDouble
+          minMaxPos = math.min(minMaxPos, mp)
           if (c > 0)
             // the kernel always scores with the literal length 5000
             // (IndexResultValuator.java:118), so the bound can too
@@ -525,7 +760,7 @@ object QueryKernel {
           // prio-tier part: ≤ bitCount(PrioBm25Mask)=5 flag bits can be set
           raw += p.bm25PrioWeight * Scoring.invFreq(spec.docCount, t.dfPrio) *
             Scoring.tfSat(p.prioParams.k, 0, 5.0, 0)
-        case None => allPresent = false // meta 0 ⇒ zero contribution, tcf dead
+        case _ => allPresent = false // meta 0 ⇒ zero contribution, tcf dead
       }
     }
     if (allPresent)
@@ -592,7 +827,8 @@ object QueryKernel {
           (sq.include.map(_.hash) ++ sq.advice).forall(byTerm.contains))
         if (!anyMatchable) return
         val bestBound = spec.subqueries.iterator
-          .map(sq => variantBound(spec, sq, byTerm, rangeStats))
+          .map(sq => variantBound(spec, sq,
+            h => byTerm.get(h).map(_.maxPosCount).getOrElse(-1), rangeStats))
           .foldLeft(Double.PositiveInfinity)(math.min)
         if (bestBound > threshold) return
       }

@@ -26,7 +26,8 @@ object Snapshots {
       docRangeShift: Int,
       stagesDone: Seq[String],
       lineage: Seq[LineageRow],
-      stemming: Boolean = false)
+      stemming: Boolean = false,
+      ngrams: Boolean = false)
 
   /** Per-partition build ledger row (north rule: partitionId, termRange,
     * docCount, postingBytes, wallClock). */
@@ -50,7 +51,7 @@ object Snapshots {
       s"""{"stage":"${esc(r.stage)}","partitionId":${r.partitionId},"termRangeLo":${r.termRangeLo},"termRangeHi":${r.termRangeHi},"docCount":${r.docCount},"postingBytes":${r.postingBytes},"wallClockMs":${r.wallClockMs}}"""
     }.mkString("[", ",", "]")
     val stages = m.stagesDone.map(s => "\"" + esc(s) + "\"").mkString("[", ",", "]")
-    s"""{"snapshotId":"${esc(m.snapshotId)}","docCount":${m.docCount},"numBuckets":${m.numBuckets},"docRangeShift":${m.docRangeShift},"stemming":${if (m.stemming) 1 else 0},"stagesDone":$stages,"lineage":$rows}"""
+    s"""{"snapshotId":"${esc(m.snapshotId)}","docCount":${m.docCount},"numBuckets":${m.numBuckets},"docRangeShift":${m.docRangeShift},"stemming":${if (m.stemming) 1 else 0},"ngrams":${if (m.ngrams) 1 else 0},"stagesDone":$stages,"lineage":$rows}"""
   }
 
   def parseManifest(json: String): Manifest = {
@@ -79,7 +80,8 @@ object Snapshots {
     val stages = "\"([^\"]+)\"".r.findAllMatchIn(field("stagesDone")).map(_.group(1)).toSeq
     Manifest(field("snapshotId"), field("docCount").toLong, field("numBuckets").toInt,
       field("docRangeShift").toInt, stages, rows,
-      stemming = field("stemming") == "1")
+      stemming = field("stemming") == "1",
+      ngrams = field("ngrams") == "1")
   }
 
   // -- snapshot lifecycle ----------------------------------------------------

@@ -96,6 +96,44 @@ class OpsSpec extends AnyFunSuite {
     assert(viaLsh.nonEmpty)
   }
 
+  test("query paths agree: one-shot local, progressive WAND fetch, distributed") {
+    import graft.build.{IndexBuilder, IndexConf}
+    import graft.fixtures.Fixtures
+    import graft.query.{QueryEngine, QueryParser}
+    val root = java.nio.file.Files.createTempDirectory("paths-idx").toString
+    IndexBuilder.buildFromCorpus(spark, Fixtures.tinyCorpus(spark).toDF(), root, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 6))
+    val idx = QueryEngine.open(root)
+    val queries = Seq("tok000", "tok000 tok001", "tok042 -tok001", "f64 tok002",
+      "tok000 ?rl_3_0", "\"alpha beta\" tok000")
+    // compare ids/scores/flags; results_from_domain is a clamped diagnostic
+    // count that legitimately differs with how many beyond-cap candidates a
+    // path happened to surface (documented in Selection.emit)
+    def key(rs: Seq[graft.query.SearchResult]) =
+      rs.map(r => (r.url_id, r.domain_id, r.ranking, r.has_priority_term, r.score))
+    queries.foreach { q =>
+      val base = QueryParser.parse(q)
+      val oneShot = key(QueryEngine.search(spark, idx,
+        base.copy(localEvalMaxPostings = Long.MaxValue)))
+      // budget 256 forces multi-batch progressive fetch on head terms
+      val progressive = key(QueryEngine.search(spark, idx,
+        base.copy(localEvalMaxPostings = 256L)))
+      val progressiveUnpruned = key(QueryEngine.search(spark, idx,
+        base.copy(localEvalMaxPostings = 256L, pruning = false)))
+      val distributed = key(QueryEngine.search(spark, idx,
+        base.copy(localEvalMaxPostings = 0L)))
+      assert(progressive === oneShot, s"progressive vs one-shot for '$q'")
+      assert(progressiveUnpruned === oneShot, s"unpruned progressive for '$q'")
+      assert(distributed === oneShot, s"distributed vs one-shot for '$q'")
+      // budgeted mode must return a rank-order-consistent PREFIX-quality
+      // subset: every budgeted hit must be a real doc of the exact result's
+      // candidate universe (same subquery semantics), and ids are unique
+      val budgeted = QueryEngine.search(spark, idx,
+        base.copy(localEvalMaxPostings = 256L, fetchBudget = 64L))
+      assert(budgeted.map(_.url_id).distinct.size === budgeted.size, s"budget dups for '$q'")
+    }
+  }
+
   test("ivfTopK recall@20 vs brute force is the expected deterministic value") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = VectorOps.annTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
