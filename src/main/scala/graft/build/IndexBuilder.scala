@@ -130,7 +130,27 @@ object IndexBuilder {
     * term-frequency-extractor tool. */
   def buildFromCorpusWithDict(spark: SparkSession, corpus: DataFrame, root: String,
                               snapshotId: String, conf: IndexConf,
-                              tfIdfDict: graft.analysis.TfIdfDict): Snapshots.Manifest = {
+                              tfIdfDict: graft.analysis.TfIdfDict): Snapshots.Manifest =
+    buildFromCorpusFull(spark, corpus, root, snapshotId, conf, tfIdfDict, null)
+
+  /** Full build with every optional input:
+    *
+    * @param domainRanks optional (repo, rank) table, rank 0..255 with 0 best —
+    *                    the J6→index wiring: compute it with
+    *                    [[graft.ops.RelationalOps.domainRanksFromPageRank]]
+    *                    over a repo link graph, exactly like the reference
+    *                    pipes RankingAlgorithm output into rank-encoded
+    *                    posting order (RankingAlgorithm.java:141-188). Repos
+    *                    absent from the table fall back to the frozen hash
+    *                    rank. The corpus may also carry an optional `year`
+    *                    INT column (commit year), encoded into doc_meta per
+    *                    PubDate.java:48-62 so `year=`/`year>` query limits
+    *                    are live on the corpus path.
+    */
+  def buildFromCorpusFull(spark: SparkSession, corpus: DataFrame, root: String,
+                          snapshotId: String, conf: IndexConf,
+                          tfIdfDict: graft.analysis.TfIdfDict,
+                          domainRanks: DataFrame): Snapshots.Manifest = {
     import spark.implicits._
     configureCommitter(spark)
     val bDict = spark.sparkContext.broadcast(tfIdfDict)
@@ -164,14 +184,26 @@ object IndexBuilder {
       // single-threaded on the driver and stalls every executor behind the
       // TorrentBroadcast lock; SHJ distributes both sides by the unique key
       // with no sort of `content`
-      val withIds = corpus.join(slimIds.hint("shuffle_hash"), Seq("repo", "path", "commit"))
+      val withIds0 = corpus.join(slimIds.hint("shuffle_hash"), Seq("repo", "path", "commit"))
+      // optional explicit domain ranks (broadcast dim) and corpus year column
+      val withRank =
+        if (domainRanks == null) withIds0.withColumn("dom_rank", lit(-1))
+        else withIds0.join(
+          broadcast(domainRanks.select($"repo", $"rank".cast("int").as("dom_rank"))),
+          Seq("repo"), "left")
+          .withColumn("dom_rank", coalesce($"dom_rank", lit(-1)))
+      val withYear =
+        if (corpus.columns.contains("year")) withRank.withColumn("doc_year", coalesce($"year".cast("int"), lit(0)))
+        else withRank.withColumn("doc_year", lit(0))
 
-      val journal = withIds
-        .select($"repo", $"path", $"commit", $"lang", $"content", $"url_id", $"domain_id")
-        .as[(String, String, String, String, String, Int, Int)]
-        .map { case (repo, path, commit, lang, content, urlId, domainId) =>
-          val rank = repoRank(repo)
-          val a = Tokenizer.analyze(repo, path, lang, content, rank,
+      val journal = withYear
+        .select($"repo", $"path", $"commit", $"lang", $"content", $"url_id", $"domain_id",
+          $"dom_rank", $"doc_year")
+        .as[(String, String, String, String, String, Int, Int, Int, Int)]
+        .map { case (repo, path, commit, lang, content, urlId, domainId, domRank, docYear) =>
+          val rank = if (domRank >= 0) domRank else repoRank(repo)
+          val yearByte = if (docYear > 0) DocMeta.toYearByte(docYear) else 0
+          val a = Tokenizer.analyze(repo, path, lang, content, rank, yearByte,
             tfIdfDict = bDict.value, stem = stemConf, ngrams = ngramConf)
           JournalRow(
             doc_id = DocId.combine(domainId, urlId),

@@ -21,12 +21,16 @@ object RelationalOps {
     * iteration is one shuffle on `id`. At 100 TB the edge list would be
     * bucketed by src so iterations co-partition for free.
     */
-  def pageRank(events: DataFrame, mod: Int, iters: Int): DataFrame = {
-    val spark = events.sparkSession
-    val edges = events.select(
+  def pageRank(events: DataFrame, mod: Int, iters: Int): DataFrame =
+    pageRankEdges(events.select(
         (col("user_id") % mod).as("src"),
-        (abs(floor(col("value") * 7).cast("long")) % mod).as("dst"))
-      .where(col("src") =!= col("dst")).distinct().cache()
+        (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")), iters)
+      .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
+
+  /** PageRank over an arbitrary (src, dst) edge list (self-loops dropped,
+    * edges deduped); returns (id, r) with raw double ranks. */
+  def pageRankEdges(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
@@ -44,7 +48,23 @@ object RelationalOps {
       // joins overwhelms the optimizer and the task-serialization path
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
+    ranks
+  }
+
+  /** J6 → index wiring: domain rank bytes from PageRank over a repo link
+    * graph (src_repo, dst_repo). Ordinal percentile scaled to 0..254 (0 =
+    * best; 255 stays the unknown-domain sentinel), the shape of the
+    * reference's RankingAlgorithm → DomainRankings conversion
+    * (RankingAlgorithm.java:141-188, DomainRankings.java:27-38). The global
+    * ordinal window is a single-partition sort of ONE ROW PER DOMAIN —
+    * fine to ~10^7 repos; beyond that switch to approx quantile buckets. */
+  def domainRanksFromPageRank(repoLinks: DataFrame, iters: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pr = pageRankEdges(repoLinks.select(
+      col("src_repo").as("src"), col("dst_repo").as("dst")), iters)
+    val w = Window.orderBy(col("r").desc, col("id"))
+    pr.select(col("id").as("repo"),
+      (percent_rank().over(w) * 254).cast("int").as("rank"))
   }
 
   /** Matching DuckDB oracle for [[pageRank]] — chained CTEs, one per iteration. */

@@ -167,21 +167,55 @@ object QueryEngine {
   def search(spark: SparkSession, index: Index, spec0: QuerySpec): Seq[SearchResult] = {
     import spark.implicits._
 
+    // Advice-only promotion (Q2): a subquery with no includes but advice
+    // terms promotes the advice into the conjunction — `lang:scala` alone is
+    // a valid query (QuerySearchTermsAccumulator: include empty + advice
+    // present ⇒ addAll + clear).
+    val promoted: Seq[Subquery] = spec0.subqueries.map { sq =>
+      if (sq.include.isEmpty && sq.advice.nonEmpty)
+        sq.copy(include = sq.advice, advice = Nil)
+      else sq
+    }
+
+    def stored(t: String): String =
+      if (index.manifest.stemming && !t.contains(":")) graft.analysis.Porter.stem(t) else t
+
     // Phrase spans (K3): on an n-gram index each quoted phrase's adjacent
     // pair becomes a required `a_b` advice term — exact-adjacency retrieval,
     // the reference's joined-phrase advice path
     // (QuerySearchTermsAccumulator.java:24-101); the coherence mask stays as
     // the position-group backstop. Parts are stemmed to the stored form when
     // the index is stemmed (the tokenizer joined stemmed parts).
-    val spec: QuerySpec =
-      if (!index.manifest.ngrams) spec0
-      else spec0.copy(subqueries = spec0.subqueries.map { sq =>
-        def stored(t: String) =
-          if (index.manifest.stemming && !t.contains(":")) graft.analysis.Porter.stem(t) else t
+    val withSpans: Seq[Subquery] =
+      if (!index.manifest.ngrams) promoted
+      else promoted.map { sq =>
         val spans = sq.coherences.filter(_.size >= 2)
           .flatMap(_.map(stored).sliding(2).map(_.mkString("_")).toSeq)
         sq.copy(advice = (sq.advice ++ spans).distinct)
-      })
+      }
+
+    // Query variants (Q3): the reference expands a multi-word query into
+    // joined-ngram permutations evaluated as alternate subqueries, best
+    // variant wins (QueryVariants.java:72-120, ≤24 permutations). Without a
+    // POS model the deterministic subset is: for each adjacent pair of plain
+    // include terms, one variant replacing the pair with its `a_b` span
+    // term. Dead variants (span never indexed) are dropped by the planner's
+    // liveness check; the identity variant always stays first.
+    val spec: QuerySpec = {
+      val subqueries =
+        if (!index.manifest.ngrams) withSpans
+        else withSpans.flatMap { sq =>
+          val inc = sq.include
+          val variants =
+            if (inc.size < 2 || inc.size > 5 || sq.coherences.nonEmpty) Nil
+            else (0 until math.min(inc.size - 1, 23)).map { i =>
+              val joined = stored(inc(i)) + "_" + stored(inc(i + 1))
+              sq.copy(include = inc.patch(i, Seq(joined), 2))
+            }
+          sq +: variants
+        }
+      spec0.copy(subqueries = subqueries)
+    }
 
     val allTerms: Seq[String] = spec.subqueries.flatMap(sq =>
       sq.include ++ sq.exclude ++ sq.priority ++ sq.advice).distinct
