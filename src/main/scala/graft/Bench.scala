@@ -83,13 +83,16 @@ object Bench {
     val suiteCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
     val highCores = lowCores * 4
+    // 2.1M docs: big enough that the build's ~10 s serial tail (job setup,
+    // commits, manifest) stays under ~5% of the low-side wall — the scaling
+    // ratio then measures the engine, not Amdahl noise (see BASELINE.md)
     val repos = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPOS", "256").toInt
-    val filesPerRepo = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "4096").toInt
+    val filesPerRepo = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "8192").toInt
     // this VM's timings swing ±40% run-to-run (hypervisor neighbors); take
     // the best of N builds per side so the ratio reflects the engine. The
     // high-parallelism side is the noisy one (observed 14.6k–26.3k docs/sec
     // for identical runs), the low side is stable — hence the asymmetry.
-    val triesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_HI", "3").toInt
+    val triesHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_HI", "2").toInt
     val triesLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIES_LO", "1").toInt
     val nDocs = repos.toLong * filesPerRepo
     val work = benchRoot()

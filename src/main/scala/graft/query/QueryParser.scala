@@ -7,11 +7,10 @@ import graft.analysis.Tokenizer
   * (/root/reference/code/features-search/query-parser/src/main/java/nu/marginalia/query_parser/QueryTokenizer.java:14-61,
   * QueryParser.java:14-101):
   *
-  *   - `"quoted phrase"`  → parts become includes + one coherence constraint
-  *                          (the reference also emits the joined `a_b` n-gram
-  *                          as advice; our tokenizer indexes no synthetic
-  *                          n-grams, so the coherence set carries the phrase
-  *                          semantics — documented deviation)
+  *   - `"quoted phrase"`  → parts become includes + one coherence constraint;
+  *                          on an n-gram index the engine additionally
+  *                          requires the joined `a_b` span terms (exact
+  *                          adjacency — QueryEngine phrase-span promotion)
   *   - `-term`            → exclude
   *   - `?term`            → priority (scored bonus, not required)
   *   - `key:value`        → advice (required for the match, excluded from
@@ -19,14 +18,18 @@ import graft.analysis.Tokenizer
   *   - `q>x` / `q<x`      → quality limit   (GREATER_THAN is >=, LESS_THAN <=,
   *   - `year=x|>x|<x`     → year limit       SpecificationLimit.java:22-32)
   *   - `size>x|<x|=x`     → size limit
+  *   - `(grouped terms)`  → advice group (required, unscored)
+  *   - `near:repo`        → site restriction (degraded: the repo's synthetic
+  *                          term as advice — no link-graph neighborhood)
   *   - `rank>x|<x|=x`     → rank limit
   *   - anything else      → include (normalized via the same Tokenizer path
   *                          the index used, so terms hash identically)
   *
   * The reference further expands POS-driven variants/permutations
-  * (QueryVariants.java:72-120, ≤24 permutations ≤5 variants); those need an
-  * NLP model our code corpus doesn't carry, so the planner uses the identity
-  * variant only — a deterministic subset (SURVEY §2.9 Q3 note).
+  * (QueryVariants.java:72-120, ≤24 permutations ≤5 variants). Without a POS
+  * model the deterministic subset lives engine-side: on n-gram indexes each
+  * adjacent include pair spawns a joined-span variant subquery (identity
+  * variant always first — QueryEngine Q3 expansion).
   */
 object QueryParser {
 
@@ -72,10 +75,20 @@ object QueryParser {
             }
           case _ if t.startsWith("-") && t.length > 1 => exclude += norm(t.drop(1))
           case _ if t.startsWith("?") && t.length > 1 => priority += norm(t.drop(1))
+          case _ if t.startsWith("near:") && t.length > 5 =>
+            // reference `near:` restricts results to the named site's
+            // neighborhood (QueryParser.java near-dot handling); without a
+            // link-graph neighborhood the deterministic core is the site
+            // restriction itself → the repo's synthetic term as advice
+            advice += "repo:" + t.drop(5).toLowerCase
           case _ if t.contains(":")                   => advice += norm(t)
           case _ if t.nonEmpty                        => include += norm(t)
           case _                                      =>
         }
+      case Paren(body) =>
+        // parenthesized terms are advice — required for the match, excluded
+        // from scoring (reference QueryParser advice grouping)
+        advice ++= Tokenizer.splitLine(body).map(norm).filter(_.nonEmpty)
     }
 
     QuerySpec(
@@ -94,6 +107,7 @@ object QueryParser {
   private sealed trait Tok
   private final case class Quoted(body: String) extends Tok
   private final case class Plain(body: String) extends Tok
+  private final case class Paren(body: String) extends Tok
 
   private def tokenize(q: String): Seq[Tok] = {
     val out = Seq.newBuilder[Tok]
@@ -106,6 +120,10 @@ object QueryParser {
         val end = q.indexOf('"', i + 1)
         if (end < 0) { out += Plain(q.substring(i + 1)); i = n }
         else { out += Quoted(q.substring(i + 1, end)); i = end + 1 }
+      } else if (c == '(') {
+        val end = q.indexOf(')', i + 1)
+        if (end < 0) { out += Paren(q.substring(i + 1)); i = n }
+        else { out += Paren(q.substring(i + 1, end)); i = end + 1 }
       } else {
         var j = i
         while (j < n && !q.charAt(j).isWhitespace) j += 1
