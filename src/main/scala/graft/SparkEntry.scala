@@ -48,6 +48,14 @@ object SparkEntry {
         countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"))),
 
+    // -- streaming twins run in batch mode for the oracle (§2.11) ------------
+    "s11_windowed_counts" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowedCounts(tbl(s, dir, "events"))
+        .orderBy("w_start", "event_type")),
+
+    "s12_sessions" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionizeBatch(tbl(s, dir, "events"), 1800L)),
+
     // -- joins (F2/F3 semi/anti = J1/J2 at DataFrame level, J5 broadcast) ----
     "f2_semi_join" -> ((s, dir) =>
       tbl(s, dir, "customer")
@@ -232,6 +240,12 @@ object SparkEntry {
 
     "s3_journal_stats" ->
       "SELECT max(user_id) AS max_user, count(DISTINCT user_id) AS n_users, count(*) AS n_events FROM events",
+
+    "s11_windowed_counts" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s12_sessions" -> graft.streaming.StreamingOps.sessionizeBatchOracleSql(1800L),
 
     "f2_semi_join" ->
       """SELECT c_custkey FROM customer WHERE EXISTS
