@@ -42,4 +42,30 @@ object MultiModalOps {
       MediaMeta(m.doc_id, m.payload.length.toLong, w, h, f)
     })
   }
+
+  final case class MediaEmbedding(vec_id: Long, embedding: Array[Float])
+
+  /** STUB feature extractor: a deterministic payload → dense-vector function
+    * standing in for a real vision/audio encoder (same partition-batch shape;
+    * swap the body for an ONNX/JNI model call). Output plugs straight into
+    * [[VectorOps]] — buckets, verify, IVF — closing the media → embedding →
+    * ANN-dedup pipeline. */
+  def extractEmbeddings(spark: SparkSession, docs: DataFrame,
+                        dim: Int = 64): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    asMedia(spark, docs).mapPartitions(_.map { m =>
+      val v = new Array[Float](dim)
+      var h = 1125899906842597L // deterministic rolling hash of the payload
+      var i = 0
+      while (i < m.payload.length) { h = h * 31 + m.payload(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        val x = h * (2654435761L + 2L * j) + 97531L
+        val m2 = x ^ (x >>> 29)
+        v(j) = ((((m2 % 1024L) + 1024L) % 1024L).toFloat / 512f) - 1f
+        j += 1
+      }
+      MediaEmbedding(m.doc_id, v)
+    })
+  }
 }

@@ -134,6 +134,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stubbed media embeddings feed the ANN ops end-to-end") {
+    val docs = chainDocs
+    val emb = MultiModalOps.extractEmbeddings(spark, docs).toDF()
+    assert(emb.count() === 9)
+    // deterministic: same payload → same vector
+    val twice = MultiModalOps.extractEmbeddings(spark, docs).toDF()
+    assert(emb.collect().map(_.toString).sorted.toSeq ===
+      twice.collect().map(_.toString).sorted.toSeq)
+    // composes with the vector ops (bucket join path, no crossJoin)
+    val buckets = VectorOps.lshBuckets(emb)
+    assert(buckets.count() === 9)
+    val pairs = VectorOps.cosineVerify(emb, -1.0) // keep all same-bucket pairs
+    assert(!planOf(pairs).contains("CartesianProduct"))
+  }
+
   test("ivfTopK recall@20 vs brute force is the expected deterministic value") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = VectorOps.annTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
