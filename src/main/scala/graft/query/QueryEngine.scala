@@ -646,6 +646,52 @@ object QueryKernel {
     }
   }
 
+  /** Monotonic merge cursor over one decoded posting list: for an ascending
+    * doc-id scan, membership/meta lookups amortize to O(1) instead of a
+    * binary search per probe (BTreeReader's sequential range reads play the
+    * same trick). Forward motion only — callers must probe ascending docs. */
+  private final class Cursor(p: PostingCodec.Postings) {
+    private var j = 0
+    def idx(doc: Long): Int = {
+      var i = j
+      val n = p.length
+      while (i < n && p.docIds(i) < doc) i += 1
+      j = i
+      if (i < n && p.docIds(i) == doc) i else -1
+    }
+    def metaOf(doc: Long): Long = { val i = idx(doc); if (i >= 0) p.metas(i) else 0L }
+    def contains(doc: Long): Boolean = idx(doc) >= 0
+  }
+
+  /** Meta access for one subquery's ascending driver scan: dense drivers use
+    * merge cursors (decode once, O(1) per probe); sparse drivers keep the
+    * adaptive skip-seek blocks (no full decode for a handful of probes). */
+  private final class RangeAccess(byTerm: collection.Map[Long, Block],
+                                  fwdMeta: Block, fwdDom: Block,
+                                  useCursors: Boolean) {
+    private val cursors = if (useCursors) new java.util.HashMap[Long, Cursor]() else null
+    private val fwdMetaCur = if (useCursors) new Cursor(fwdMeta.full) else null
+    private val fwdDomCur = if (useCursors) new Cursor(fwdDom.full) else null
+    def docMeta(doc: Long): Long =
+      if (useCursors) fwdMetaCur.metaOf(doc) else fwdMeta.meta(doc)
+    def domain(doc: Long): Long =
+      if (useCursors) fwdDomCur.metaOf(doc) else fwdDom.meta(doc)
+    def termMeta(hash: Long, doc: Long): Long =
+      if (useCursors) {
+        var c = cursors.get(hash)
+        if (c == null) {
+          byTerm.get(hash) match {
+            case Some(b) => c = new Cursor(b.full); cursors.put(hash, c)
+            case None    => return 0L
+          }
+        }
+        c.metaOf(doc)
+      } else byTerm.get(hash).map(_.meta(doc)).getOrElse(0L)
+    def membership(b: Block): Long => Boolean =
+      if (useCursors) { val c = new Cursor(b.full); d => c.contains(d) }
+      else b.contains _
+  }
+
   /** Partition-local running selection: candidates ordered by the reference
     * comparator with the per-domain cap applied greedily (a partition-matroid
     * greedy — adding candidates can only improve the kept set, so the WAND
@@ -868,7 +914,10 @@ object QueryKernel {
       }
     }
 
-    val seen = scala.collection.mutable.Set.empty[Long] // F6 cross-subquery memo
+    // F6 cross-subquery memo — only needed when several subqueries can mint
+    // the same doc (single-subquery queries skip the hash set entirely)
+    val seen: java.util.HashSet[java.lang.Long] =
+      if (spec.subqueries.length > 1) new java.util.HashSet[java.lang.Long]() else null
     spec.subqueries.foreach { sq =>
       // advice terms join the conjunction (match-only) — Q5: advice folded
       // into includes at retrieval, excluded from the scoring variant set
@@ -876,19 +925,27 @@ object QueryKernel {
       val lists = required.flatMap(h => byTerm.get(h))
       if (lists.length == required.length && lists.nonEmpty) {
         // driver = rarest list, fully decoded; other lists answer membership
-        // via skip-seek group decode (galloping intersection, J1 —
-        // BTreeReader.retainEntries)
+        // via merge cursors for dense drivers / skip-seek group decode for
+        // sparse ones (galloping intersection, J1 — BTreeReader.retainEntries)
         val sorted = lists.sortBy(_.n)
         val driver = sorted.head.full
-        val others = sorted.tail
-        val excl = sq.exclude.flatMap(byTerm.get)
+        val acc = new RangeAccess(byTerm, fwdMeta, fwdDom, driver.length > 32)
+        val others: Array[Long => Boolean] = sorted.tail.map(acc.membership).toArray
+        val excl: Array[Long => Boolean] =
+          sq.exclude.flatMap(byTerm.get).map(acc.membership).toArray
         var i = 0
         while (i < driver.length) {
           val doc = driver.docIds(i)
-          if (!seen.contains(doc) && others.forall(_.contains(doc)) &&
-              !excl.exists(_.contains(doc))) {
-            seen += doc
-            scoreCandidate(spec, sq, doc, byTerm, fwdMeta, fwdDom, sel)
+          if (seen == null || !seen.contains(doc)) {
+            var ok = true
+            var k = 0
+            while (ok && k < others.length) { ok = others(k)(doc); k += 1 }
+            k = 0
+            while (ok && k < excl.length) { ok = !excl(k)(doc); k += 1 }
+            if (ok) {
+              if (seen != null) seen.add(doc)
+              scoreCandidate(spec, sq, doc, acc, sel)
+            }
           }
           i += 1
         }
@@ -897,11 +954,10 @@ object QueryKernel {
   }
 
   private def scoreCandidate(spec: KernelSpec, sq: KernelSubquery, doc: Long,
-                             byTerm: scala.collection.mutable.Map[Long, Block],
-                             fwdMeta: Block, fwdDom: Block,
+                             acc: RangeAccess,
                              sel: Selection): Unit = {
-    val docMeta = fwdMeta.meta(doc)
-    val domainId = fwdDom.meta(doc).toInt
+    val docMeta = acc.docMeta(doc)
+    val domainId = acc.domain(doc).toInt
 
     // param filter (F7) — runs last in the reference too
     if (spec.domains.nonEmpty && !spec.domains.contains(domainId)) return
@@ -913,7 +969,7 @@ object QueryKernel {
     // priority-term hit is checked across ALL subqueries' priority terms
     // (IndexMetadataService.getResultsWithPriorityTerms)
     val hasPrio = spec.subqueries.exists(_.priority.exists(ph =>
-      byTerm.get(ph).exists(_.meta(doc) != 0L)))
+      acc.termMeta(ph, doc) != 0L))
 
     // score against every subquery's term set, best (min) wins — the
     // reference's variant-set loop (ResultValuator:90-103)
@@ -924,14 +980,13 @@ object QueryKernel {
     var anyAllSynthetic = false
     spec.subqueries.foreach { variant =>
       val terms = variant.include.map { t =>
-        TermScoreInput(t.term, byTerm.get(t.hash).map(_.meta(doc)).getOrElse(0L),
-          t.dfFull, t.dfPrio)
+        TermScoreInput(t.term, acc.termMeta(t.hash, doc), t.dfFull, t.dfPrio)
       }
       // coherence disqualification (R8, per-variant constraint sets)
       val coherenceOk = variant.coherences.forall { cohSet =>
         var overlap = 0xFF_FFFF_FFFF_FFFFL
         cohSet.foreach { h =>
-          overlap &= WordMeta.positions(byTerm.get(h).map(_.meta(doc)).getOrElse(0L))
+          overlap &= WordMeta.positions(acc.termMeta(h, doc))
         }
         overlap != 0L
       }
