@@ -34,37 +34,40 @@ object DedupOps {
         (257L, 4093L), (1021L, 65537L), (4093L, 131101L), (65537L, 524287L))
   final val MinHashP = 2147483647L
 
-  /** Per-row array of 3-token-shingle 30-bit hashes over the raw split
-    * (empty tokens hold their position, mirroring DuckDB `toks[i]`). Shingle
-    * adjacency is row-local in `split(text)`, so this is a pure projection —
-    * codegen'd higher-order functions, zero shuffle (the round-1 form
-    * exploded positions through a per-doc window `lead`, moving the entire
-    * token stream through an exchange to recompute what this computes in
-    * place). */
-  private def shingleHashArr: Column = {
-    val toks = split(col("text"), " ")
+  /** 3-token shingles with their 30-bit hash, one row per position, over the
+    * raw split (empty tokens hold their position, mirroring DuckDB
+    * `toks[i]`). Shingle adjacency is row-local in `split(text)`, so this is
+    * a pure projection + generator — zero shuffle (the round-1 form exploded
+    * positions through a per-doc window `lead`, moving the entire token
+    * stream through an exchange). The split array is BOUND to a column
+    * before the lambda references it: Catalyst inlines expression trees
+    * through collapsed projections, and an unbound `split` inside
+    * `element_at` re-tokenizes the document once per element — O(n²). The
+    * generator (explode) also materializes each shingle hash exactly once,
+    * which matters to every consumer that reads it more than once. */
+  def shingles(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
     val idx = when(size(toks) >= 3, sequence(lit(1), size(toks) - 2))
       .otherwise(array().cast("array<int>"))
-    transform(idx, i => TextOps.h30(concat_ws(" ",
+    val hashes = transform(idx, i => TextOps.h30(concat_ws(" ",
       element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(hashes).as("h"))
   }
 
-  /** 3-token shingles with their 30-bit hash, one row per position. */
-  def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingleHashArr).as("h"))
-
   /** MinHash signature: mh_j = min over shingles of (a_j·h + b_j) mod p.
-    * Entirely row-local (narrow map over the shingle-hash array — the only
-    * exchange in the plan is the output sort). Docs with fewer than 3 tokens
-    * have no shingles and are dropped, as before. */
+    * Exploded shingles + a map-side-combined hash aggregate: each shingle's
+    * md5 is computed ONCE and the exchange carries one pre-aggregated
+    * 8-column row per (partition, doc) — a fully row-local variant that
+    * computed the 8 minima as array expressions re-evaluated the shingle
+    * hash array once PER PERMUTATION after projection collapse (measured
+    * 10× slower at sf0.1). Docs with fewer than 3 tokens have no shingles
+    * and are dropped, as before. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sigCols = Perms.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("hs"), h => (h * a + b) % MinHashP)).as(s"mh$j")
+    val aggs = Perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % MinHashP).as(s"mh$j")
     }
-    docs.select(col("doc_id"), shingleHashArr.as("hs"))
-      .where(size(col("hs")) > 0)
-      .select(col("doc_id") +: sigCols: _*)
-      .orderBy("doc_id")
+    shingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
   }
 
   /** LSH candidate pairs: 4 bands of 2 minhashes; docs sharing any band value

@@ -130,11 +130,17 @@ object TextOps {
     * every token position through a per-doc window `lead`). Assumes doc_id
     * is unique in `docs` (it is the documents table's key). */
   def phraseMatch(docs: DataFrame, w1: String, w2: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val idx = when(size(toks) >= 2, sequence(lit(1), size(toks) - 1))
-      .otherwise(array().cast("array<int>"))
-    docs.where(exists(idx, i =>
-        element_at(toks, i) === w1 && element_at(toks, i + 1) === w2))
+    // adjacency via zip_with over the bound array and its tail — the array
+    // is tokenized once per row; an element_at(split(...), i) lambda would
+    // re-split the document per element after Catalyst inlines the
+    // projection (O(n²))
+    val toks = col("toks")
+    val hit = exists(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => a === w1 && b === w2),
+      x => x)
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(hit)
       .select("doc_id").orderBy("doc_id")
   }
 
