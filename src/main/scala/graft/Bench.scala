@@ -144,7 +144,12 @@ object Bench {
       if (i < pairs) sparkHi0.stop() // keep the last hi session for queries
       (lo, hi)
     }
-    val (loDps, hiDps) = pairResults.maxBy { case (lo, hi) => hi / lo }
+    // efficiency from each side's BEST interleaved sample: a slow episode
+    // must cover both sides' best windows to bias the ratio (a single pair's
+    // raw ratio can exceed 1.0 when an episode lands on just its low side —
+    // all raw pairs are reported for transparency)
+    val loDps = pairResults.map(_._1).max
+    val hiDps = pairResults.map(_._2).max
     val sparkHi = org.apache.spark.sql.SparkSession.active
 
     // ---- 3. query latency over the reference set ----------------------------
