@@ -559,7 +559,20 @@ object QueryEngine {
       topCounts(c.domainId))).toSeq
   }
 
-    /** DataFrame wrapper for SparkEntry/Verify. */
+    /** J8: decorate search results with (repo, path, lang) from the snapshot's
+    * documents table — the reference's URL-details join
+    * (SearchQueryIndexService.java:177-187) as one broadcast join of the tiny
+    * result set against the pruned documents scan. */
+  def decorate(spark: SparkSession, index: Index, results: Seq[SearchResult]): DataFrame = {
+    import spark.implicits._
+    val ids = results.toDF()
+    val docs = spark.read.parquet(s"${index.dir}/documents")
+      .select($"url_id", $"repo", $"path", $"lang")
+    docs.join(broadcast(ids), Seq("url_id"))
+      .orderBy($"has_priority_term".desc, $"score", $"ranking", $"url_id")
+  }
+
+  /** DataFrame wrapper for SparkEntry/Verify. */
   def searchDF(spark: SparkSession, index: Index, spec: QuerySpec): DataFrame = {
     import spark.implicits._
     search(spark, index, spec).toDF()

@@ -60,6 +60,13 @@ class RanksYearSpec extends AnyFunSuite {
     val recent = QueryEngine.search(spark, idx,
       QueryParser.parse("needle year>2010"))
     assert(recent.size === 1 && recent.head.ranking === 3)
+
+    // J8 decoration: results join back to (repo, path, lang)
+    val dec = QueryEngine.decorate(spark, idx, hits).collect()
+    assert(dec.length === 2)
+    assert(dec(0).getAs[String]("repo") === "good/repo")
+    assert(dec(0).getAs[String]("path") === "a.txt")
+    assert(dec(1).getAs[String]("repo") === "bad/repo")
   }
 
   test("advice-only query promotes advice into the conjunction") {
