@@ -121,7 +121,7 @@ object Bench {
     // (lo, hi) pair, so the per-pair ratio survives it; the reported
     // efficiency is the best pair's ratio. A small untimed warm-up build
     // first keeps pair 1's low side from being JIT-flattered.
-    val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "2").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
     locally {
       val warm = session(highCores)
       warm.sparkContext.setLogLevel("ERROR")
