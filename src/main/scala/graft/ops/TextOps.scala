@@ -70,12 +70,15 @@ object TextOps {
   final val Bm25B = 0.75
   final val AvgDl = 20.0 // fixed norm constant for the relational surface
 
-  /** C6/R1: BM25 scores of `queryTerms`, top `k` docs.
-    * Classic BM25 with (k1=1.2, b=0.75) per the north_star's stated relational
-    * parameters; the snapshot engine (graft.query.Scoring) keeps the
-    * reference's own (1.2, 0.5) chain for rank-identity. */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
-               extraFilter: Column = lit(true)): DataFrame = {
+  /** C6/R1 composition form: unsorted BM25 scores of `queryTerms` over every
+    * matching doc — (doc_id, score) with NO global sort or limit, so callers
+    * that join/combine scores (disjunctions, stratified rankings) don't drag
+    * a full corpus sort below their join; only the outermost top-k should
+    * order. Classic BM25 with (k1=1.2, b=0.75) per the north_star's stated
+    * relational parameters; the snapshot engine (graft.query.Scoring) keeps
+    * the reference's own (1.2, 0.5) chain for rank-identity. */
+  def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+                 extraFilter: Column = lit(true)): DataFrame = {
     val base = docs.where(extraFilter)
     val n = base.select(count(lit(1)).as("n"))
     val tf = termTf(base).where(col("term").isin(queryTerms: _*))
@@ -87,9 +90,14 @@ object TextOps {
         s"ln(1D + (cast(n as double) - df + 0.5D) / (df + 0.5D))" +
           s" * (tf * (${Bm25K}D + 1D)) / (tf + ${Bm25K}D * (1D - ${Bm25B}D + ${Bm25B}D * dl / ${AvgDl}D))"))
       .groupBy("doc_id").agg(round(sum(col("s")), 4).as("score"))
+  }
+
+  /** BM25 top-k: [[bm25Scores]] + the one global ordered truncation. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               extraFilter: Column = lit(true)): DataFrame =
+    bm25Scores(docs, queryTerms, extraFilter)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** Oracle-SQL body shared by the BM25-family queries (DuckDB dialect). */
   def bm25OracleSql(terms: Seq[String], k: Int, where: String = "TRUE"): String = {
@@ -117,7 +125,7 @@ object TextOps {
     val excluded = exclude.foldLeft(matching) { (acc, t) =>
       acc.join(toks.where(col("term") === t).select("doc_id").distinct(), Seq("doc_id"), "left_anti")
     }
-    bm25TopK(docs, include, Int.MaxValue)
+    bm25Scores(docs, include)
       .join(excluded, Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

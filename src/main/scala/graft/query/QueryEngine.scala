@@ -57,7 +57,8 @@ final case class QuerySpec(
     params: RankingParams = RankingParams(),
     pruning: Boolean = true,
     localEvalMaxPostings: Long = 262_144L,
-    fetchBudget: Long = 0L)
+    fetchBudget: Long = 0L,
+    dirRowBudget: Long = 1L << 20)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -236,38 +237,58 @@ object QueryEngine {
     // With the handle's pinned stats (small snapshots): df lookups are
     // driver-local, and a query whose total posting volume fits the local
     // budget skips the block-directory job entirely — ONE Spark job total.
-    // Without the cache: two concurrent metadata jobs (term_stats + block
-    // directory), as at 10^12-doc scale.
+    // Without the cache (the 10^12-doc regime): one tiny pruned term_stats
+    // job answers selectivities BEFORE any directory data moves, so the
+    // directory guard below can size its collect.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
     val postings = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-    // (term_hash, doc_range, n, max_pos_count): block directory — everything
-    // the WAND planner needs, no blobs
-    def collectDir(): Array[org.apache.spark.sql.Row] =
-      postings.select($"term_hash", $"doc_range", $"n", $"max_pos_count").collect()
-    var blockDir: Array[org.apache.spark.sql.Row] = null
     val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = index.statsCache match {
       case Some(m) =>
         (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
          hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
       case None =>
-        val statsF = Future {
-          index.termStats
-            .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-            .select($"term_hash", $"df_prio")
-            .collect()
-        }
-        val dirF = Future { collectDir() }
-        blockDir = Await.result(dirF, Duration.Inf)
-        val dp = Await.result(statsF, Duration.Inf)
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        // full-tier df = Σn per term (one posting per (term, doc))
-        (blockDir.groupBy(_.getLong(0))
-          .map { case (h, rows) => h -> rows.map(_.getInt(2).toLong).sum }, dp)
+        val rows = index.termStats
+          .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+          .select($"term_hash", $"df_full", $"df_prio")
+          .collect()
+        (rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+         rows.iterator.map(r => r.getLong(0) -> r.getLong(2)).toMap)
     }
     val docCount = index.manifest.docCount
+
+    // ---- head-term directory guard (VERDICT r2 task #3) ---------------------
+    // The planner's block directory is one row per (query term, doc range);
+    // a stopword-like term at 10^12 docs spans ~10^7 ranges — unbounded
+    // driver memory. Pick the smallest super-range shift whose worst-case
+    // row count fits spec.dirRowBudget; at shift s the EXECUTORS aggregate
+    // blocks into ranges of 2^(docRangeShift+s) ids (sum n, max block-max),
+    // every planner bound stays conservative, and evaluation still runs per
+    // REAL range (real ranges are recovered from the fetched rows), so
+    // results are identical at any shift.
+    val numRanges = (docCount >> index.manifest.docRangeShift) + 1
+    val dirShift = dirShiftFor(
+      hashes.map(h => dfFull.getOrElse(h, 0L)), numRanges, spec.dirRowBudget)
+    // (term_hash, doc_range, n, max_pos_count): block directory — everything
+    // the WAND planner needs, no blobs; doc_range is the PLANNING range
+    // (real range >> dirShift)
+    def collectDir(): Array[org.apache.spark.sql.Row] = {
+      val dir =
+        if (dirShift == 0)
+          postings.select($"term_hash", $"doc_range", $"n", $"max_pos_count").collect()
+        else postings
+          .select($"term_hash",
+            shiftrightunsigned($"doc_range", dirShift).as("doc_range"),
+            $"n", $"max_pos_count")
+          .groupBy($"term_hash", $"doc_range")
+          .agg(sum($"n").cast("int").as("n"), max($"max_pos_count").as("max_pos_count"))
+          .select($"term_hash", $"doc_range", $"n", $"max_pos_count")
+          .collect()
+      QueryEngine.lastDirStats = (dirShift, dir.length)
+      dir
+    }
 
     // a subquery whose include term is absent can never match (reference
     // SearchTermsService: missing include ⇒ subquery dead)
@@ -357,8 +378,7 @@ object QueryEngine {
     val singleJobCap =
       if (spec.fetchBudget > 0) spec.localEvalMaxPostings
       else spec.localEvalMaxPostings * 16
-    if (blockDir == null && index.fwdRowCache.isDefined &&
-        totalDf <= singleJobCap) {
+    if (index.fwdRowCache.isDefined && totalDf <= singleJobCap) {
       val postingRows = postings.select(unifiedPostingCols: _*).collect()
       val byTermRows = postingRows.groupBy(_.getLong(0))
       val ranges = rarestTerms.iterator
@@ -369,7 +389,7 @@ object QueryEngine {
     }
 
     // ---- directory path (big queries / uncached handles) --------------------
-    if (blockDir == null) blockDir = collectDir()
+    val blockDir = collectDir()
 
     // candidate universe: ranges of the rarest include term per subquery
     val rangeSet: java.util.HashSet[java.lang.Long] = {
@@ -412,7 +432,13 @@ object QueryEngine {
         val tmap = e.getValue
         val matchable = requiredBySq.exists(req => req.forall(tmap.containsKey))
         if (matchable) {
-          val rs = index.fwdDir.flatMap(_.get(rg)).map(_.stats).getOrElse(optimisticStats)
+          // fwdDir is keyed by REAL range — at dirShift > 0 a planning-range
+          // key could alias an unrelated real range's stats (an under-bound
+          // risk), so coarsened planning always uses the optimistic stats
+          val rs =
+            if (dirShift == 0)
+              index.fwdDir.flatMap(_.get(rg)).map(_.stats).getOrElse(optimisticStats)
+            else optimisticStats
           val bound = kSpec.subqueries.iterator
             .map(sq => QueryKernel.variantBound(kSpec, sq,
               h => { val v = tmap.get(h); if (tmap.containsKey(h)) v else -1 }, rs))
@@ -425,9 +451,15 @@ object QueryEngine {
     if (infos.isEmpty) return Nil
     val postingsInPlay: Long = infos.iterator.map(_.vol).sum
 
+    // planning ranges prune via the shifted range expression; at dirShift 0
+    // this is the plain doc_range pushdown
+    def planRangeCol(df: DataFrame): org.apache.spark.sql.Column =
+      if (dirShift == 0) df("doc_range")
+      else shiftrightunsigned(df("doc_range"), dirShift)
     def pruneToRanges(df: DataFrame, rs: Array[Long]): DataFrame =
-      if (rs.length <= 8192) df.where($"doc_range".isin(rs.toSeq: _*))
-      else df.join(broadcast(rs.toSeq.toDF("doc_range")), Seq("doc_range"), "left_semi")
+      if (rs.length <= 8192) df.where(planRangeCol(df).isin(rs.toSeq: _*))
+      else df.join(broadcast(rs.toSeq.toDF("plan_range")),
+        planRangeCol(df) === col("plan_range"), "left_semi")
 
     def fetchPostings(rs: Array[Long]): Array[org.apache.spark.sql.Row] =
       pruneToRanges(postings, rs).select(unifiedPostingCols: _*).collect()
@@ -442,7 +474,7 @@ object QueryEngine {
     val fwdInPlay: Long =
       if (index.fwdRowCache.isDefined) 0L
       else if (postingsInPlay > spec.localEvalMaxPostings) Long.MaxValue // moot
-      else index.fwdDir match {
+      else index.fwdDir.filter(_ => dirShift == 0) match { // real-range keys only
         case Some(m) => allRanges.iterator.map(r => m.get(r).map(_.n.toLong).getOrElse(0L)).sum
         case None =>
           val r = pruneToRanges(index.fwd.select($"doc_range", $"n"), allRanges)
@@ -452,7 +484,10 @@ object QueryEngine {
 
     if (postingsInPlay + fwdInPlay <= spec.localEvalMaxPostings) {
       // ---- one-shot driver-local kernel: one posting-fetch job ------------
-      return selectBest(runLocalKernel(fetchPostings(allRanges), allRanges, fwdFor(allRanges)), spec)
+      // evaluation runs per REAL range, recovered from the fetched rows
+      val rows = fetchPostings(allRanges)
+      val realRanges = rows.map(_.getLong(1)).distinct
+      return selectBest(runLocalKernel(rows, realRanges, fwdFor(allRanges)), spec)
     }
 
     if (spec.localEvalMaxPostings > 0) {
@@ -499,7 +534,9 @@ object QueryEngine {
             val brs = batch.map(_.range)
             val fwdByRange = fwdFor(brs)
             val byRange = fetchPostings(brs).groupBy(_.getLong(1))
-            val (cands, scored) = evalRangesParallel(brs, byRange, fwdByRange, th)
+            // per REAL range (brs are planning ranges when dirShift > 0)
+            val (cands, scored) =
+              evalRangesParallel(byRange.keys.toArray, byRange, fwdByRange, th)
             cands.foreach(sel.add)
             sel.scored += scored - cands.length // adds counted once already
             scoredTotal += scored
@@ -537,6 +574,25 @@ object QueryEngine {
         org.apache.spark.sql.Encoders.product[Candidate])
       .collect()
     selectBest(candidates, spec)
+  }
+
+  /** Diagnostics for specs: (dirShift, directory rows collected) by the most
+    * recent directory-path query in this JVM. */
+  @volatile private[graft] var lastDirStats: (Int, Int) = (0, 0)
+
+  /** Smallest super-range shift keeping the planning directory's worst-case
+    * driver row count — Σ over query terms of min(df, numRanges>>s + 1) —
+    * within `budget`. 0 when the plain per-range directory already fits (the
+    * common case; a head term only crosses a 2^20 budget beyond ~10^9 docs
+    * at docRangeShift 16). */
+  private[graft] def dirShiftFor(dfs: Seq[Long], numRanges: Long, budget: Long): Int = {
+    def bound(s: Int): Long = {
+      val nr = (numRanges >> s) + 1
+      dfs.iterator.map(df => math.min(df, nr)).sum
+    }
+    var s = 0
+    while (bound(s) > budget && (numRanges >> s) > 1) s += 1
+    s
   }
 
   /** Final selection (reference selectBestResults): comparator order,
