@@ -205,6 +205,24 @@ object SparkEntry {
         .select(col("url_id"), col("domain_id"), col("ranking"),
           col("has_priority_term"), round(col("score"), 4).as("score"),
           col("results_from_domain"))
+    }),
+
+    // K3 engine path: exact 3-word adjacency on an ngram index via ONE full
+    // 3-gram advice term (the span's existence proves contiguity; pairwise
+    // a_b+b_c false-positives — VERDICT r2 task #5). The subquery is built
+    // directly (not via parser promotion) because the plain fixture gives
+    // each token its own position group, so a coherence backstop would
+    // reject everything; SiteNgramSpec covers the parser/promotion path.
+    "q_phrase_engine" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      IndexBuilder.buildFromJournal(s, plainJournal(s, dir, spans = true), root, "snap-1",
+        IndexConf(numBuckets = 16, docRangeShift = 8, ngrams = true))
+      val idx = QueryEngine.open(root, s)
+      QueryEngine.searchDF(s, idx, QuerySpec(
+        subqueries = Seq(Subquery(include = Seq("window", "fast", "query"),
+          advice = Seq("window_fast_query"))),
+        limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue))
+        .select(col("url_id")).orderBy("url_id")
     })
   )
 
@@ -230,11 +248,29 @@ object SparkEntry {
     * TermCoherenceFactor.java:9-31, ResultValuator.java:83-147 normalize)
     * from the same parquet. domain_id = url_id (per-domain cap inert),
     * rank/doc_meta constant across docs. */
-  private def plainJournal(s: SparkSession, dir: String): DataFrame = {
+  private def plainJournal(s: SparkSession, dir: String,
+                           spans: Boolean = false): DataFrame = {
     val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
-    val kw = d
+    val t1 = d
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
       .where(col("term") =!= "")
+    // spans: raw-adjacent 2-/3-gram terms (for the q_phrase_engine ngram
+    // fixture) — underscore-joined, keyed at the first token's position,
+    // matching the tokenizer's span emission on real corpora
+    val allToks = if (!spans) t1 else {
+      val bi = t1.alias("a").join(t1.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+          concat(col("a.term"), lit("_"), col("b.term")).as("term"))
+      val tri = t1.alias("a").join(t1.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .join(t1.alias("c"),
+          col("a.doc_id") === col("c.doc_id") && col("c.pos") === col("a.pos") + 2)
+        .select(col("a.doc_id").as("doc_id"), col("a.pos").as("pos"),
+          concat(col("a.term"), lit("_"), col("b.term"), lit("_"), col("c.term")).as("term"))
+      t1.unionByName(bi).unionByName(tri)
+    }
+    val kw = allToks
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("int").as("tf"),
         expr("bit_or(shiftleft(1L, cast(pos % 55 as int) + 1))").as("mask"))
@@ -576,6 +612,15 @@ object SparkEntry {
          |  100 AS ranking, FALSE AS has_priority_term,
          |  round(sqrt((1 + CAST(250 AS DOUBLE)) / (1 + (bm + tcf + (CAST(255 AS DOUBLE) - 100) * (CAST(1 AS DOUBLE) / 25)) / 2)), 4) AS score,
          |  CAST(1 AS BIGINT) AS results_from_domain
-         |FROM sc ORDER BY score, url_id LIMIT 50""".stripMargin
+         |FROM sc ORDER BY score, url_id LIMIT 50""".stripMargin,
+
+    // q_phrase_engine: docs where 'window fast query' occurs contiguously.
+    "q_phrase_engine" ->
+      s"""WITH $TokPosCte
+         |SELECT DISTINCT CAST(p.doc_id AS INTEGER) AS url_id FROM p
+         |JOIN p q ON q.doc_id = p.doc_id AND q.i = p.i + 1
+         |JOIN p r ON r.doc_id = p.doc_id AND r.i = p.i + 2
+         |WHERE p.term = 'window' AND q.term = 'fast' AND r.term = 'query'
+         |ORDER BY 1""".stripMargin
   )
 }

@@ -226,6 +226,26 @@ object Tokenizer {
       }
     }
 
+    // A9/K5 deterministic analogs (no POS model — degraded, documented):
+    //  - NamesWords (NameLikeKeywords.java:20-49): capitalized tokens play
+    //    the proper-name-span role; single tokens need per-doc count ≥
+    //    minCount+1 = 3 and must not be ALL-caps (reference skips those,
+    //    :30-31); adjacent capitalized pairs (span terms, ngram indexes
+    //    only) need count ≥ 2 (hasEnough, :53-61).
+    //  - Subjects (SubjectLikeKeywords.java:27-69): the sentence-lead token
+    //    with ≥ 2 tokens following is the [Noun](Verb)(…) subject analog
+    //    (kw.end+2 < sentence.length, :36-38), gated by the same
+    //    extraction-time TF-IDF value (≥ 100, :62-63); with no TF dict the
+    //    reference's unknown-term clamp makes every candidate pass the gate,
+    //    so candidates are flagged unconditionally.
+    val nameCounts = new java.util.HashMap[String, Int]()
+    val subjectCands = new java.util.HashSet[String]()
+    def isCapitalized(w: String): Boolean =
+      w.length >= 2 && Character.isUpperCase(w.charAt(0)) &&
+        w.exists(Character.isLowerCase)
+    def isCapLike(w: String): Boolean =
+      w.nonEmpty && Character.isUpperCase(w.charAt(0))
+
     // Body: every line is a virtual sentence; position advances per the
     // reference state machine.
     val linePos = new LinePosition
@@ -234,20 +254,42 @@ object Tokenizer {
       val toks = splitLine(lines(li))
       if (toks.nonEmpty) {
         val posBit = (1L << linePos.pos()) & PositionMask
-        // K3 analog: adjacent-token 2-gram spans, underscore-joined like the
-        // reference's word spans (KeywordExtractor.java:107-177 emits 1-4
-        // token POS-matched spans; without a POS model we emit every adjacent
-        // indexable pair — configurable because it roughly doubles journal
-        // volume). Quoted queries retrieve through these (a_b advice terms).
+        if (toks.length >= 3 && isIndexableWord(toks(0)))
+          subjectCands.add(termOf(toks(0)))
+        // K3 analog: adjacent-token 2/3/4-gram spans, underscore-joined like
+        // the reference's word spans (KeywordExtractor.java:107-177 emits
+        // 1-4 token POS-matched spans; without a POS model we emit every
+        // adjacent indexable run up to 4 — configurable because it roughly
+        // triples journal volume). Quoted phrases up to 4 words retrieve
+        // EXACT adjacency through one full-span advice term; a span's
+        // existence is proof of contiguity, unlike pairwise a_b+b_c which
+        // can false-positive on `a b … b c` in one position group.
         var prevOk: String = null
+        var prev2: String = null
+        var prev3: String = null
+        var prevCap = false
         toks.foreach { raw =>
           totalTokens += 1
           val t = termOf(raw)
           val ok = isIndexableWord(raw)
-          if (ok) add(t, posBit, 0)
+          val cap = isCapLike(raw)
+          if (ok) {
+            add(t, posBit, 0)
+            if (isCapitalized(raw)) nameCounts.merge(t, 1, _ + _)
+          }
           if (ngrams) {
-            if (ok && prevOk != null) add(prevOk + "_" + t, posBit, 0)
-            prevOk = if (ok) t else null
+            if (ok && prevOk != null) {
+              add(prevOk + "_" + t, posBit, 0)
+              if (cap && prevCap) nameCounts.merge(prevOk + "_" + t, 1, _ + _)
+              if (prev2 != null) {
+                add(prev2 + "_" + prevOk + "_" + t, posBit, 0)
+                if (prev3 != null)
+                  add(prev3 + "_" + prev2 + "_" + prevOk + "_" + t, posBit, 0)
+              }
+            }
+            if (ok) { prev3 = prev2; prev2 = prevOk; prevOk = t }
+            else { prev3 = null; prev2 = null; prevOk = null }
+            prevCap = ok && cap
           }
           identifierParts(raw).foreach(p => add(termOf(p), posBit, 0))
         }
@@ -310,15 +352,38 @@ object Tokenizer {
     // tf > 1 and value > 100. Needs the corpus TF dictionary (S7); without
     // one the flag is simply not assigned, like the reference with an empty
     // dict.
+    var maxTf = 0
+    agg.values.forEach(c => if (c.tf > maxTf) maxTf = c.tf)
     if (tfIdfDict != null && !agg.isEmpty) {
-      var maxTf = 0
-      agg.values.forEach(c => if (c.tf > maxTf) maxTf = c.tf)
       agg.forEach { (t, cell) =>
         if (cell.tf > 1) {
           val v = (0.1 + 0.9 * cell.tf / maxTf.toDouble) *
             math.log(tfIdfDict.freq(t) / tfIdfDict.docCount)
           if ((-v * 75).toInt > 100) cell.flags |= WordFlags.TfIdfHigh
         }
+      }
+    }
+
+    // Subjects/NamesWords assignment (KeywordMetadata.java:36-62 analog —
+    // flags land on the stored term so the prio tier, the prio-BM25 count
+    // (WordFlags.PrioBm25Mask counts Subjects) and SiteWords' topic mask all
+    // see them).
+    nameCounts.forEach { (t, c) =>
+      val need = if (t.indexOf('_') >= 0) 2 else 3
+      if (c >= need) {
+        val cell = agg.get(t)
+        if (cell != null) cell.flags |= WordFlags.NamesWords
+      }
+    }
+    subjectCands.forEach { t =>
+      val cell = agg.get(t)
+      if (cell != null) {
+        val pass = tfIdfDict == null || {
+          val v = (0.1 + 0.9 * cell.tf / math.max(1, maxTf).toDouble) *
+            math.log(tfIdfDict.freq(t) / tfIdfDict.docCount)
+          (-v * 75).toInt >= 100
+        }
+        if (pass) cell.flags |= WordFlags.Subjects
       }
     }
 

@@ -297,12 +297,14 @@ object IndexBuilder {
 
     // -- stage: priority-tier posting blocks (docIds only, records with any
     //    priority flag — ReverseIndexPriorityParameters.java:14-28). OFF by
-    //    default: the query engine's scoring needs only df_prio (term_stats);
-    //    the reference consults the prio tier as a recall-trading champion
-    //    list inside its fetch budget (SearchIndex.createQueries:93-157),
-    //    whereas this engine's block-max WAND is exact — paying a second
-    //    full shuffle+encode every build for an unread table was round 1's
-    //    biggest dead cost. Enable for workloads that want the tier on disk.
+    //    default: exact (unbudgeted) queries never need it — scoring reads
+    //    df_prio from term_stats and block-max WAND is exact. When built,
+    //    BUDGETED queries (QuerySpec.fetchBudget > 0) read it as a champion
+    //    list: prio-tier ranges are evaluated before plain rank order
+    //    (QueryEngine progressive path), mirroring the reference's two-tier
+    //    BEST/GOOD head gating (SearchIndex.createQueries:93-157). Enable it
+    //    for budgeted serving workloads; it costs a second (filtered)
+    //    shuffle+encode per build.
     val stagePrioF = Future { if (conf.buildPrioTier &&
         !Snapshots.isStageDone(root, snapshotId, StagePrio)) {
       val prio = explodedPostings.filter(p => (p.term_meta & WordFlags.PriorityMask) != 0L)

@@ -10,8 +10,10 @@ import org.apache.spark.sql.expressions.Window
   * (SiteWords.java:24-88, CommonKeywordExtractor.java:19-69, TopKeywords.java).
   *
   * The reference keys "topic-ness" on the POS-derived Subjects/NamesWords
-  * flags; a code corpus has no POS model, so the default mask degrades to
-  * Title|TfIdfHigh (documented deviation — the flag masks are parameters).
+  * flags; without a POS model the tokenizer assigns deterministic analogs
+  * (sentence-lead Subjects, capitalized-run NamesWords — Tokenizer A9/K5),
+  * so the default mask is Title|TfIdfHigh|Subjects|NamesWords (the flag
+  * masks stay parameters).
   * Prio-tier BM25 counts Site/SiteAdjacent (WordFlags.PrioBm25Mask), so these
   * passes directly raise the ranking of a repo's signature terms.
   *
@@ -30,7 +32,8 @@ object SiteWords {
   /** reference: words on > 3 linking pages (SiteWords.java:66) */
   final val MinLinkingDocs = 3
 
-  private val DefaultTopicMask: Long = (WordFlags.Title | WordFlags.TfIdfHigh).toLong
+  private val DefaultTopicMask: Long =
+    (WordFlags.Title | WordFlags.TfIdfHigh | WordFlags.Subjects | WordFlags.NamesWords).toLong
 
   /** Keywords of `journal` docs carrying any of `flagMask`. */
   private def flaggedTerms(journal: DataFrame, flagMask: Long): DataFrame =

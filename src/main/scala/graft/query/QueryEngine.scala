@@ -23,6 +23,40 @@ object SpecLimit {
   def lessThan(v: Int): SpecLimit = SpecLimit(LessThan, v)
 }
 
+/** Query evaluation strategy — the `qs=` token (reference
+  * QueryParser.java:85 → QueryLimitsAccumulator.parseQueryStrategy:39-50,
+  * enum QueryStrategy.java). REQUIRE_FIELD_* variants drop a scoring variant
+  * set unless EVERY term carries the flag
+  * (IndexResultValuator.meetsQueryStrategyRequirements:136-170);
+  * AUTO/SENTENCE/TOPIC pass through. */
+object QueryStrategy {
+  final val Auto = 0; final val Sentence = 1; final val Topic = 2
+  final val RequireFieldSite = 3; final val RequireFieldTitle = 4
+  final val RequireFieldSubject = 5; final val RequireFieldUrl = 6
+  final val RequireFieldDomain = 7
+
+  /** Flag every term must carry under this strategy; 0 = no requirement. */
+  def requiredFlag(s: Int): Long = s match {
+    case RequireFieldSite    => WordFlags.Site.toLong
+    case RequireFieldTitle   => WordFlags.Title.toLong
+    case RequireFieldSubject => WordFlags.Subjects.toLong
+    case RequireFieldUrl     => WordFlags.UrlPath.toLong
+    case RequireFieldDomain  => WordFlags.UrlDomain.toLong
+    case _                   => 0L
+  }
+
+  def parse(s: String): Int = s.toUpperCase match {
+    case "RF_TITLE"   => RequireFieldTitle
+    case "RF_SUBJECT" => RequireFieldSubject
+    case "RF_SITE"    => RequireFieldSite
+    case "RF_URL"     => RequireFieldUrl
+    case "RF_DOMAIN"  => RequireFieldDomain
+    case "SENTENCE"   => Sentence
+    case "TOPIC"      => Topic
+    case _            => Auto
+  }
+}
+
 /** One subquery: conjunctive includes, excludes, priority terms, coherence
   * constraints (reference SearchSubquery). `advice` terms are required for a
   * match but excluded from the scoring variant set — the reference folds
@@ -58,7 +92,8 @@ final case class QuerySpec(
     pruning: Boolean = true,
     localEvalMaxPostings: Long = 262_144L,
     fetchBudget: Long = 0L,
-    dirRowBudget: Long = 1L << 20)
+    dirRowBudget: Long = 1L << 20,
+    strategy: Int = QueryStrategy.Auto)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -106,6 +141,14 @@ object QueryEngine {
     lazy val termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
     lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
     lazy val fwd: DataFrame = spark.read.parquet(s"$dir/fwd")
+    /** Priority-tier postings (docIds of flag-carrying occurrences), present
+      * when the snapshot was built with IndexConf.buildPrioTier — the
+      * budgeted query path reads it as a champion list (reference
+      * SearchIndex.createQueries:93-157 scans the prio tier first). */
+    lazy val prioPostings: Option[DataFrame] =
+      if (manifest.stagesDone.contains("postings_prio"))
+        Some(spark.read.parquet(s"$dir/postings_prio"))
+      else None
     /** Forward blocks pinned on the driver in kernel row form, keyed by
       * doc_range — the Spark analog of the reference's always-in-RAM forward
       * index (ForwardIndexReader.java:53-71). With this cache the local-eval
@@ -181,17 +224,23 @@ object QueryEngine {
     def stored(t: String): String =
       if (index.manifest.stemming && !t.contains(":")) graft.analysis.Porter.stem(t) else t
 
-    // Phrase spans (K3): on an n-gram index each quoted phrase's adjacent
-    // pair becomes a required `a_b` advice term — exact-adjacency retrieval,
-    // the reference's joined-phrase advice path
-    // (QuerySearchTermsAccumulator.java:24-101); the coherence mask stays as
+    // Phrase spans (K3): on an n-gram index each quoted phrase becomes ONE
+    // required full-span advice term (`a_b_c` for up to 4 words — the span's
+    // existence proves contiguity; the tokenizer emits 1-4 token spans like
+    // the reference, KeywordExtractor.java:107-177). Pairwise `a_b`+`b_c`
+    // promotion false-positives on `a b … b c` within one position group —
+    // fixed per VERDICT r2 task #5. Phrases beyond 4 words take sliding
+    // 4-token spans (the reference's span cap). The coherence mask stays as
     // the position-group backstop. Parts are stemmed to the stored form when
     // the index is stemmed (the tokenizer joined stemmed parts).
     val withSpans: Seq[Subquery] =
       if (!index.manifest.ngrams) promoted
       else promoted.map { sq =>
-        val spans = sq.coherences.filter(_.size >= 2)
-          .flatMap(_.map(stored).sliding(2).map(_.mkString("_")).toSeq)
+        val spans = sq.coherences.filter(_.size >= 2).flatMap { parts =>
+          val sp = parts.map(stored)
+          if (sp.size <= 4) Seq(sp.mkString("_"))
+          else sp.sliding(4).map(_.mkString("_")).toSeq
+        }
         sq.copy(advice = (sq.advice ++ spans).distinct)
       }
 
@@ -320,7 +369,8 @@ object QueryEngine {
       params = spec.params,
       docCount = docCount,
       docRangeShift = index.manifest.docRangeShift,
-      pruning = spec.pruning)
+      pruning = spec.pruning,
+      strategy = spec.strategy)
 
     val unifiedPostingCols = Seq(
       col("term_hash"), col("doc_range"), col("n"), col("max_pos_count"),
@@ -505,8 +555,26 @@ object QueryEngine {
       // Recall-trading like the reference; exact mode is fetchBudget = 0.
       val budgeted = spec.fetchBudget > 0
       val sel = new QueryKernel.Selection(spec.limitTotal, spec.limitByDomain)
+      // champion list (reference two-tier pruning, SearchIndex.java:112-132):
+      // in budgeted mode, ranges holding PRIORITY-FLAGGED postings of the
+      // query's terms (the prio tier, if built) are evaluated before the
+      // plain rank order, so flag-carrying documents survive a tight fetch
+      // budget even when their domain rank puts them late. One tiny pruned
+      // scan of postings_prio (distinct planning ranges, no blobs).
+      val championRanges: Set[Long] =
+        if (!budgeted) Set.empty
+        else index.prioPostings match {
+          case Some(pp) =>
+            val rc =
+              if (dirShift == 0) col("doc_range")
+              else shiftrightunsigned(col("doc_range"), dirShift)
+            pp.where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+              .select(rc.as("r")).distinct().collect().map(_.getLong(0)).toSet
+          case None => Set.empty
+        }
+      QueryEngine.lastChampionRanges = championRanges.size
       var rest: Array[RInfo] =
-        if (budgeted) infos.sortBy(_.range)
+        if (budgeted) infos.sortBy(i => (!championRanges.contains(i.range), i.range))
         else infos.sortBy(i => (i.bound, i.range))
       var batchVol: Long =
         if (budgeted) math.max(spec.fetchBudget * 2, 32768L)
@@ -579,6 +647,10 @@ object QueryEngine {
   /** Diagnostics for specs: (dirShift, directory rows collected) by the most
     * recent directory-path query in this JVM. */
   @volatile private[graft] var lastDirStats: (Int, Int) = (0, 0)
+
+  /** Diagnostics for specs: champion (prio-tier) range count of the most
+    * recent budgeted directory-path query in this JVM. */
+  @volatile private[graft] var lastChampionRanges: Int = 0
 
   /** Smallest super-range shift keeping the planning directory's worst-case
     * driver row count — Σ over query terms of min(df, numRanges>>s + 1) —
@@ -657,7 +729,8 @@ final case class KernelSpec(
     docCount: Long,
     docRangeShift: Int,
     pruning: Boolean,
-    seedThreshold: Double = Double.PositiveInfinity)
+    seedThreshold: Double = Double.PositiveInfinity,
+    strategy: Int = QueryStrategy.Auto)
 
 final case class Candidate(urlId: Int, domainId: Int, ranking: Int,
                            hasPrio: Boolean, score: Double)
@@ -1047,12 +1120,18 @@ object QueryKernel {
     var maxMinFlags = 0
     var maxMinPos = 0
     var anyAllSynthetic = false
+    val requiredFlag = QueryStrategy.requiredFlag(spec.strategy)
     spec.subqueries.foreach { variant =>
       val terms = variant.include.map { t =>
         TermScoreInput(t.term, acc.termMeta(t.hash, doc), t.dfFull, t.dfPrio)
       }
+      // query-strategy gate (R8/qs=): under REQUIRE_FIELD_* a variant set
+      // only counts when every term carries the flag
+      // (IndexResultValuator.meetsQueryStrategyRequirements:136-170)
+      val strategyOk = requiredFlag == 0L ||
+        terms.forall(t => (t.termMeta & requiredFlag) == requiredFlag)
       // coherence disqualification (R8, per-variant constraint sets)
-      val coherenceOk = variant.coherences.forall { cohSet =>
+      val coherenceOk = strategyOk && variant.coherences.forall { cohSet =>
         var overlap = 0xFF_FFFF_FFFF_FFFFL
         cohSet.foreach { h =>
           overlap &= WordMeta.positions(acc.termMeta(h, doc))

@@ -21,6 +21,8 @@ import graft.analysis.Tokenizer
   *   - `(grouped terms)`  → advice group (required, unscored)
   *   - `near:repo`        → site restriction (degraded: the repo's synthetic
   *                          term as advice — no link-graph neighborhood)
+  *   - `qs=RF_TITLE|...`  → query strategy (QueryParser.java:85): RF_* makes
+  *                          every include term require that flag
   *   - `rank>x|<x|=x`     → rank limit
   *   - anything else      → include (normalized via the same Tokenizer path
   *                          the index used, so terms hash identically)
@@ -48,6 +50,7 @@ object QueryParser {
     var quality = SpecLimit.none
     var size = SpecLimit.none
     var rank = SpecLimit.none
+    var strategy = QueryStrategy.Auto
 
     def norm(t: String): String = Tokenizer.normalize(t)
 
@@ -73,6 +76,10 @@ object QueryParser {
               case "size" => size = lim
               case "rank" => rank = lim
             }
+          case _ if t.startsWith("qs=") =>
+            // query strategy (QueryParser.java:85): RF_* field requirements,
+            // SENTENCE/TOPIC/AUTO pass-throughs
+            strategy = QueryStrategy.parse(t.drop(3))
           case _ if t.startsWith("-") && t.length > 1 => exclude += norm(t.drop(1))
           case _ if t.startsWith("?") && t.length > 1 => priority += norm(t.drop(1))
           case _ if t.startsWith("near:") && t.length > 5 =>
@@ -99,7 +106,8 @@ object QueryParser {
         advice = advice.result().distinct,
         coherences = coherences.result())),
       year = year, quality = quality, size = size, rank = rank,
-      limitByDomain = limitByDomain, limitTotal = limitTotal, params = params)
+      limitByDomain = limitByDomain, limitTotal = limitTotal, params = params,
+      strategy = strategy)
   }
 
   // ---- scanner -------------------------------------------------------------

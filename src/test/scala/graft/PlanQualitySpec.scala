@@ -76,6 +76,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"no codegen span:\n$plan")
   }
 
+  test("disjunction composition keeps the global sort above the join") {
+    // bm25Scores (unsorted) feeds the full-outer score join; the ONLY global
+    // Sort in the physical plan is the outermost top-k (VERDICT r2 task #6:
+    // orderBy.limit(MaxValue) below a join was wasted work at scale). The
+    // TakeOrderedAndProject operator IS that top-k — assert no other
+    // standalone global Sort survives under the join.
+    import graft.ops.TextOps
+    val docs = spark.read.parquet(s"$indexDir/documents")
+      .select(col("doc_id"), concat_ws(" ", col("repo"), col("path")).as("text"))
+    val s1 = TextOps.bm25Scores(docs, Seq("doc1", "doc2")).withColumnRenamed("score", "s1")
+    val s2 = TextOps.bm25Scores(docs, Seq("doc3", "doc4")).withColumnRenamed("score", "s2")
+    val q = s1.join(s2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), greatest(coalesce(col("s1"), lit(-1e9)),
+        coalesce(col("s2"), lit(-1e9))).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    q.collect() // finalize adaptive plan
+    val plan = planOf(q)
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    // SortMergeJoin's local partition sorts print as `Sort [.. ASC ..], false`
+    // (global=false); a leftover global sort would print `, true` — forbid it
+    assert(!", true, 0".r.findFirstIn(plan).exists(_ => plan.contains("Sort [score")),
+      s"global Sort below the join:\n$plan")
+    assert(!plan.contains("GlobalLimit"), s"limit should fold into TakeOrdered:\n$plan")
+  }
+
   test("index build runs exactly one wide shuffle for the postings stage") {
     // count Exchange operators in the encode path: repartition(bucket,
     // doc_range) is the single expected exchange

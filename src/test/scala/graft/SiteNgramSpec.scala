@@ -39,6 +39,24 @@ class SiteNgramSpec extends AnyFunSuite {
     assert(strict.size === 1)
   }
 
+  test("3-word quoted phrase needs the full contiguous span, not pairwise bigrams") {
+    import spark.implicits._
+    val corpus = Seq(
+      // has alpha_beta AND beta_gamma in ONE line (one position group) but
+      // never the contiguous 'alpha beta gamma' — pairwise promotion
+      // false-positives here
+      ("r1", "a.txt", "c1", "en", "alpha beta then beta gamma words"),
+      ("r1", "b.txt", "c2", "en", "alpha beta gamma words"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    val root = java.nio.file.Files.createTempDirectory("ngram3-idx").toString
+    IndexBuilder.buildFromCorpus(spark, corpus, root, "snap-1",
+      IndexConf(numBuckets = 4, docRangeShift = 4, ngrams = true))
+    val idx = QueryEngine.open(root)
+    val hits = QueryEngine.search(spark, idx, QueryParser.parse("\"alpha beta gamma\""))
+    assert(hits.size === 1, s"only the contiguous doc matches: $hits")
+    assert(hits.head.url_id === 2, "doc b.txt is the contiguous one")
+  }
+
   test("quoted phrase on a stemmed n-gram index joins stemmed parts") {
     import spark.implicits._
     val corpus = Seq(
