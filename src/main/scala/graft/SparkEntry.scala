@@ -2,7 +2,7 @@ package graft
 
 import graft.build.{IndexBuilder, IndexConf}
 import graft.ops._
-import graft.query.{QueryEngine, QuerySpec, Subquery}
+import graft.query.{QueryEngine, QueryParser, QuerySpec, Subquery}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -223,6 +223,28 @@ object SparkEntry {
           advice = Seq("window_fast_query"))),
         limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue))
         .select(col("url_id")).orderBy("url_id")
+    }),
+
+    // `near:` neighborhood restriction end-to-end (reference
+    // DbNearDomainsQuery): 16 domains (doc_id % 16), deterministic repo
+    // links i → (i+1)%16 and i → (i+5)%16; near:repo3's neighborhood is
+    // self ∪ out {4, 8} ∪ in {2, 14} — the oracle inlines the same
+    // arithmetic. Distinct per-domain ranks exercise the engine's
+    // doc_range rank-prefix scan pruning.
+    "n1_near" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      IndexBuilder.buildFromJournal(s, plainJournal(s, dir, nDomains = 16), root, "snap-1",
+        IndexConf(numBuckets = 16, docRangeShift = 8))
+      val links = s.range(0, 16).selectExpr(
+          "concat('repo', id) AS src_repo", "concat('repo', (id + 1) % 16) AS dst_repo")
+        .unionAll(s.range(0, 16).selectExpr(
+          "concat('repo', id) AS src_repo", "concat('repo', (id + 5) % 16) AS dst_repo"))
+      IndexBuilder.writeDomainNeighbors(s, root, "snap-1", links)
+      val idx = QueryEngine.open(root, s)
+      QueryEngine.searchDF(s, idx,
+        QueryParser.parse("spark near:repo3",
+          limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue))
+        .select(col("url_id")).orderBy("url_id")
     })
   )
 
@@ -249,7 +271,8 @@ object SparkEntry {
     * from the same parquet. domain_id = url_id (per-domain cap inert),
     * rank/doc_meta constant across docs. */
   private def plainJournal(s: SparkSession, dir: String,
-                           spans: Boolean = false): DataFrame = {
+                           spans: Boolean = false,
+                           nDomains: Int = 0): DataFrame = {
     val d = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val t1 = d
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
@@ -277,14 +300,24 @@ object SparkEntry {
       .select(col("doc_id"),
         struct(col("term"), shiftleft(col("mask"), 8).as("meta"), col("tf")).as("kw"))
       .groupBy("doc_id").agg(collect_list(col("kw")).as("keywords"))
+    // nDomains > 0 (the near-neighborhood fixture): doc_id % nDomains is the
+    // domain, repo<domain> its repo, rank 1+domain — DISTINCT ranks so the
+    // engine's doc_range rank-prefix pruning is exercised. doc_meta stays
+    // constant (scores unaffected).
+    val domCol =
+      if (nDomains > 0) pmod(col("doc_id"), lit(nDomains.toLong)).cast("int")
+      else col("doc_id").cast("int")
+    val repoCol =
+      if (nDomains > 0) concat(lit("repo"), domCol) else lit("fixture")
+    val rankCol = if (nDomains > 0) domCol + 1 else lit(PlainRank)
     d.join(kw, Seq("doc_id"), "left").select(
       col("doc_id"),
       col("doc_id").cast("int").as("url_id"),
-      col("doc_id").cast("int").as("domain_id"),
-      lit(PlainRank).as("rank"),
+      domCol.as("domain_id"),
+      rankCol.as("rank"),
       lit(PlainDocMeta).as("doc_meta"),
       size(split(col("text"), " ")).as("length"),
-      lit("fixture").as("repo"),
+      repoCol.as("repo"),
       concat(lit("doc/"), col("doc_id")).as("path"),
       lit("c0").as("commit"), lit("en").as("lang"),
       lit("").as("content_sha256"),
@@ -621,6 +654,15 @@ object SparkEntry {
          |JOIN p q ON q.doc_id = p.doc_id AND q.i = p.i + 1
          |JOIN p r ON r.doc_id = p.doc_id AND r.i = p.i + 2
          |WHERE p.term = 'window' AND q.term = 'fast' AND r.term = 'query'
-         |ORDER BY 1""".stripMargin
+         |ORDER BY 1""".stripMargin,
+
+    // n1_near: docs containing 'spark' whose domain (doc_id % 16) is in
+    // repo3's link neighborhood {3} ∪ out {4, 8} ∪ in {2, 14} — the links
+    // are i → (i+1)%16 and i → (i+5)%16, inlined here.
+    "n1_near" ->
+      s"""WITH $TokCte
+         |SELECT DISTINCT CAST(doc_id AS INTEGER) AS url_id FROM tok
+         |WHERE term = 'spark' AND (doc_id % 16) IN (2, 3, 4, 8, 14)
+         |ORDER BY url_id""".stripMargin
   )
 }

@@ -98,6 +98,7 @@ object IndexBuilder {
   final val StageStats    = "term_stats"
   final val StageFwd      = "fwd"
   final val StageSite     = "journal_site"
+  final val StageNeighbors = "domain_neighbors"
 
   def bucketOf(termHash: Long, numBuckets: Int): Int =
     (((termHash % numBuckets) + numBuckets) % numBuckets).toInt
@@ -388,6 +389,49 @@ object IndexBuilder {
     Snapshots.writeManifest(root, manifest)
     Snapshots.commit(root, snapshotId)
     manifest
+  }
+
+  /** Optional post-build stage: the `near:` neighborhood table
+    * (reference `DbNearDomainsQuery` — `near:site` restricts results to the
+    * site itself plus domains it links to / that link to it; the reference
+    * resolves the set from its domain-links DB at query time, we materialize
+    * it per snapshot). Input is a repo-level link table
+    * `(src_repo, dst_repo)` — for a code corpus, derive it from imports or
+    * submodule references. Output `domain_neighbors(repo, neighbor_id,
+    * neighbor_rank)`: per source repo, the domain ids of self ∪ out-links ∪
+    * in-links, capped at `maxNeighbors` by link weight (self always kept).
+    * `neighbor_rank` (the neighbor's posting-order domain rank) lets the
+    * query planner prune the posting SCAN to the neighborhood's rank
+    * prefixes — see QueryEngine's doc_range rank-prefix pruning.
+    *
+    * Scale shape: the (repo, neighbor) aggregation shuffles the LINK table
+    * only (never the journal); the per-repo top-`maxNeighbors` window is
+    * bounded by each repo's distinct-neighbor count. The repo→domain dim is
+    * one row per repo. Runs after [[buildFromJournal]] (reads the staged
+    * documents table); idempotent via the `_DONE` marker like every other
+    * stage. */
+  def writeDomainNeighbors(spark: SparkSession, root: String, snapshotId: String,
+                           links: DataFrame, maxNeighbors: Int = 64): Unit = {
+    import spark.implicits._
+    if (Snapshots.isStageDone(root, snapshotId, StageNeighbors)) return
+    configureCommitter(spark)
+    val dir = Snapshots.stagingDir(root, snapshotId).toString
+    val dim = spark.read.parquet(s"$dir/documents")
+      .select($"repo", $"domain_id", $"rank").distinct()
+    val undirected = links.select($"src_repo".as("repo"), $"dst_repo".as("nbr"))
+      .unionByName(links.select($"dst_repo".as("repo"), $"src_repo".as("nbr")))
+      .where($"repo" =!= $"nbr")
+    val weighted = undirected.groupBy($"repo", $"nbr").agg(count(lit(1)).as("w"))
+      .unionByName(dim.select($"repo", $"repo".as("nbr"), lit(Long.MaxValue).as("w")))
+    weighted
+      .join(dim.select($"repo".as("nbr"), $"domain_id".as("neighbor_id"),
+        $"rank".as("neighbor_rank")), Seq("nbr"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"repo").orderBy($"w".desc, $"neighbor_id")))
+      .where($"rk" <= maxNeighbors)
+      .select($"repo", $"neighbor_id", $"neighbor_rank")
+      .write.mode("overwrite").parquet(s"$dir/domain_neighbors")
+    Snapshots.markStageDone(root, snapshotId, StageNeighbors)
   }
 
   /** The single wide shuffle of the index build: distribute by

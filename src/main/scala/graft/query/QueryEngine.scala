@@ -82,6 +82,20 @@ final case class Subquery(
 final case class QuerySpec(
     subqueries: Seq[Subquery],
     domains: Seq[Int] = Nil,
+    /** `near:` site neighborhood (reference DbNearDomainsQuery): restrict
+      * results to this repo plus its linked domains. Resolved at search time
+      * against the snapshot's `domain_neighbors` table (built with
+      * IndexBuilder.writeDomainNeighbors); snapshots without the table
+      * degrade to the site restriction itself (the repo's synthetic term as
+      * advice — the pre-neighborhood behavior). */
+    nearRepo: Option[String] = None,
+    /** Posting-order ranks of the domains in `domains`, when known (filled
+      * by `near:` resolution). doc_range = rankEncodedId >>> shift, so a
+      * domain restriction with known ranks prunes the posting SCAN to the
+      * matching rank prefixes — sound only when `domains` is exactly the
+      * set these ranks cover; the kernel's exact per-doc domain filter
+      * remains the backstop. */
+    domainRanks: Seq[Int] = Nil,
     year: SpecLimit = SpecLimit.none,
     quality: SpecLimit = SpecLimit.none,
     size: SpecLimit = SpecLimit.none,
@@ -183,6 +197,14 @@ object QueryEngine {
         Some(termStats.select("term_hash", "df_full", "df_prio").collect()
           .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
       else None
+    /** `near:` neighborhood table (repo, neighbor_id, neighbor_rank),
+      * present when the snapshot ran IndexBuilder.writeDomainNeighbors. A
+      * post-build stage, so detected by its _DONE marker rather than the
+      * manifest's stage list. */
+    lazy val domainNeighbors: Option[DataFrame] =
+      if (Snapshots.isStageDone(root, manifest.snapshotId, "domain_neighbors"))
+        Some(spark.read.parquet(s"$dir/domain_neighbors"))
+      else None
   }
 
   /** One forward-directory entry: range doc count + doc-meta extremes. */
@@ -208,8 +230,34 @@ object QueryEngine {
 
   // -------------------------------------------------------------------------
 
-  def search(spark: SparkSession, index: Index, spec0: QuerySpec): Seq[SearchResult] = {
+  def search(spark: SparkSession, index: Index, specIn: QuerySpec): Seq[SearchResult] = {
     import spark.implicits._
+
+    // `near:` resolution (reference DbNearDomainsQuery): the repo's
+    // neighborhood (self + linked domains, ≤ the build-time cap) becomes the
+    // domain restriction, plus the neighbors' posting-order ranks for scan
+    // pruning. One filter+collect on the tiny neighbors table, bounded by
+    // the build-time maxNeighbors cap. Snapshots without the table degrade
+    // to the site restriction itself via the repo's synthetic advice term.
+    val spec0: QuerySpec = specIn.nearRepo match {
+      case None => specIn
+      case Some(r) => index.domainNeighbors match {
+        case Some(nb) =>
+          val rows = nb.where(col("repo") === r)
+            .select(col("neighbor_id"), col("neighbor_rank")).collect()
+          if (rows.isEmpty) return Nil // unknown site ⇒ empty neighborhood
+          specIn.copy(nearRepo = None,
+            domains = (specIn.domains ++ rows.map(_.getInt(0))).distinct,
+            // rank pruning is sound only when the rank set covers ALL
+            // restricted domains — i.e. when `near:` is the sole restriction
+            domainRanks =
+              if (specIn.domains.nonEmpty) Nil
+              else rows.map(_.getInt(1)).distinct.toSeq)
+        case None =>
+          specIn.copy(nearRepo = None, subqueries = specIn.subqueries.map(sq =>
+            sq.copy(advice = (sq.advice :+ s"repo:$r").distinct)))
+      }
+    }
 
     // Advice-only promotion (Q2): a subquery with no includes but advice
     // terms promotes the advice into the conjunction — `lang:scala` alone is
@@ -292,8 +340,19 @@ object QueryEngine {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
-    val postings = index.postings
+    // Domain restriction with known ranks (near: resolution) prunes the
+    // posting SCAN: doc_range = (rank << 32 | urlId) >>> shift, so
+    // doc_range >>> (32 - shift) IS the domain rank — a site-restricted
+    // query touches only its neighborhood's rank prefixes (the same locality
+    // the reference gets from its rank-encoded posting order). The kernel's
+    // exact per-doc domain filter remains the backstop for rank collisions.
+    val rankPrefix = 32 - index.manifest.docRangeShift
+    val postings0 = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+    val postings =
+      if (spec.domainRanks.isEmpty || rankPrefix < 0) postings0
+      else postings0.where(shiftrightunsigned($"doc_range", rankPrefix)
+        .isin(spec.domainRanks.map(_.toLong): _*))
     val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = index.statsCache match {
       case Some(m) =>
         (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,

@@ -19,8 +19,10 @@ import graft.analysis.Tokenizer
   *   - `year=x|>x|<x`     → year limit       SpecificationLimit.java:22-32)
   *   - `size>x|<x|=x`     → size limit
   *   - `(grouped terms)`  → advice group (required, unscored)
-  *   - `near:repo`        → site restriction (degraded: the repo's synthetic
-  *                          term as advice — no link-graph neighborhood)
+  *   - `near:repo`        → link-graph neighborhood restriction (self +
+  *                          linked domains via the snapshot's
+  *                          domain_neighbors table; degrades to the site
+  *                          restriction alone when the table is absent)
   *   - `qs=RF_TITLE|...`  → query strategy (QueryParser.java:85): RF_* makes
   *                          every include term require that flag
   *   - `rank>x|<x|=x`     → rank limit
@@ -51,6 +53,7 @@ object QueryParser {
     var size = SpecLimit.none
     var rank = SpecLimit.none
     var strategy = QueryStrategy.Auto
+    var nearRepo: Option[String] = None
 
     def norm(t: String): String = Tokenizer.normalize(t)
 
@@ -84,10 +87,11 @@ object QueryParser {
           case _ if t.startsWith("?") && t.length > 1 => priority += norm(t.drop(1))
           case _ if t.startsWith("near:") && t.length > 5 =>
             // reference `near:` restricts results to the named site's
-            // neighborhood (QueryParser.java near-dot handling); without a
-            // link-graph neighborhood the deterministic core is the site
-            // restriction itself → the repo's synthetic term as advice
-            advice += "repo:" + t.drop(5).toLowerCase
+            // link-graph neighborhood (QueryParser.java near-dot handling,
+            // DbNearDomainsQuery); resolved by the engine against the
+            // snapshot's domain_neighbors table — snapshots without one
+            // degrade to the site restriction itself (synthetic repo term)
+            nearRepo = Some(t.drop(5).toLowerCase)
           case _ if t.contains(":")                   => advice += norm(t)
           case _ if t.nonEmpty                        => include += norm(t)
           case _                                      =>
@@ -107,7 +111,7 @@ object QueryParser {
         coherences = coherences.result())),
       year = year, quality = quality, size = size, rank = rank,
       limitByDomain = limitByDomain, limitTotal = limitTotal, params = params,
-      strategy = strategy)
+      strategy = strategy, nearRepo = nearRepo)
   }
 
   // ---- scanner -------------------------------------------------------------
