@@ -145,6 +145,12 @@ final case class SearchResult(
   */
 object QueryEngine {
 
+  /** Glue words the reference's primary faithful query variant omits
+    * (QueryVariants.isOmittableWord:205-210, transcribed list). */
+  private val OmittableWords: Set[String] = Set(
+    "vs", "or", "and", "versus", "is", "the", "why", "when", "if", "who",
+    "are", "am")
+
   /** Loaded handle on one snapshot. The table DataFrames are created once per
     * handle: Spark caches the parquet FileIndex inside the plan, so repeated
     * queries skip file listing and footer reads — the reference's
@@ -205,6 +211,18 @@ object QueryEngine {
       if (Snapshots.isStageDone(root, manifest.snapshotId, "domain_neighbors"))
         Some(spark.read.parquet(s"$dir/domain_neighbors"))
       else None
+    /** domain_id → posting-order rank, pinned on the driver when the
+      * snapshot is bounded (same ≤4M-doc budget as the other caches; one
+      * row per domain, far smaller than the forward cache). Lets EXPLICIT
+      * domain restrictions (search sets, site: resolution by id) prune the
+      * posting scan by rank prefix the same way `near:` does. None at
+      * larger scale — the kernel's per-doc filter still applies. */
+    lazy val domainRankCache: Option[Map[Int, Int]] =
+      if (manifest.docCount <= (1L << 22))
+        Some(spark.read.parquet(s"$dir/documents")
+          .select("domain_id", "rank").distinct()
+          .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+      else None
   }
 
   /** One forward-directory entry: range doc count + doc-meta extremes. */
@@ -239,7 +257,7 @@ object QueryEngine {
     // pruning. One filter+collect on the tiny neighbors table, bounded by
     // the build-time maxNeighbors cap. Snapshots without the table degrade
     // to the site restriction itself via the repo's synthetic advice term.
-    val spec0: QuerySpec = specIn.nearRepo match {
+    val specNear: QuerySpec = specIn.nearRepo match {
       case None => specIn
       case Some(r) => index.domainNeighbors match {
         case Some(nb) =>
@@ -258,6 +276,20 @@ object QueryEngine {
             sq.copy(advice = (sq.advice :+ s"repo:$r").distinct)))
       }
     }
+
+    // Explicit domain restrictions (search sets, S8) get the same rank-
+    // prefix scan pruning via the pinned domain→rank map: ranks of the
+    // restricted domains that EXIST in the corpus (an absent domain holds
+    // no documents, so dropping its unknown rank loses nothing).
+    val spec0: QuerySpec =
+      if (specNear.domains.isEmpty || specNear.domainRanks.nonEmpty) specNear
+      else index.domainRankCache match {
+        case Some(m) =>
+          val ranks = specNear.domains.flatMap(m.get).distinct
+          if (ranks.isEmpty) return Nil // none of the domains exist
+          specNear.copy(domainRanks = ranks)
+        case None => specNear
+      }
 
     // Advice-only promotion (Q2): a subquery with no includes but advice
     // terms promotes the advice into the conjunction — `lang:scala` alone is
@@ -295,14 +327,26 @@ object QueryEngine {
     // Query variants (Q3): the reference expands a multi-word query into
     // joined-ngram permutations evaluated as alternate subqueries, best
     // variant wins (QueryVariants.java:72-120, ≤24 permutations). Without a
-    // POS model the deterministic subset is: for each adjacent pair of plain
-    // include terms, one variant replacing the pair with its `a_b` span
-    // term. Dead variants (span never indexed) are dropped by the planner's
-    // liveness check; the identity variant always stays first.
+    // POS model the deterministic subset is:
+    //   1. omittable-word dropping (QueryVariants.isOmittableWord:205-210 —
+    //      the reference's primary faithful variant SKIPS these glue words):
+    //      a subquery keeping ≥1 non-omittable term gains a variant without
+    //      them, placed first. Quoted phrases (coherences) are exempt, as in
+    //      the reference (spans come pre-joined there).
+    //   2. on n-gram indexes, for each adjacent pair of plain include terms,
+    //      one variant replacing the pair with its `a_b` span term.
+    // Dead variants (term never indexed) are dropped by the planner's
+    // liveness check; the identity variant is always retained.
     val spec: QuerySpec = {
+      val withOmit = withSpans.flatMap { sq =>
+        val kept = sq.include.filterNot(OmittableWords)
+        if (sq.coherences.isEmpty && kept.nonEmpty && kept.size < sq.include.size)
+          Seq(sq.copy(include = kept), sq)
+        else Seq(sq)
+      }
       val subqueries =
-        if (!index.manifest.ngrams) withSpans
-        else withSpans.flatMap { sq =>
+        if (!index.manifest.ngrams) withOmit
+        else withOmit.flatMap { sq =>
           val inc = sq.include
           val variants =
             if (inc.size < 2 || inc.size > 5 || sq.coherences.nonEmpty) Nil

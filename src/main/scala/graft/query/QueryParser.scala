@@ -23,6 +23,9 @@ import graft.analysis.Tokenizer
   *                          linked domains via the snapshot's
   *                          domain_neighbors table; degrades to the site
   *                          restriction alone when the table is absent)
+  *   - `site:repo`        → single-site restriction: the repo's synthetic
+  *                          term as advice, per-domain cap raised to 1000,
+  *                          `near:` disabled (QueryFactory.java:170-182)
   *   - `qs=RF_TITLE|...`  → query strategy (QueryParser.java:85): RF_* makes
   *                          every include term require that flag
   *   - `rank>x|<x|=x`     → rank limit
@@ -54,6 +57,7 @@ object QueryParser {
     var rank = SpecLimit.none
     var strategy = QueryStrategy.Auto
     var nearRepo: Option[String] = None
+    var siteDomain = false
 
     def norm(t: String): String = Tokenizer.normalize(t)
 
@@ -92,6 +96,14 @@ object QueryParser {
             // snapshot's domain_neighbors table — snapshots without one
             // degrade to the site restriction itself (synthetic repo term)
             nearRepo = Some(t.drop(5).toLowerCase)
+          case _ if t.startsWith("site:") && t.length > 5 =>
+            // reference `site:` is an advice term that also pins the domain
+            // (QuerySearchTermsAccumulator.java:95-101): required for the
+            // match, excluded from scoring, per-domain result cap raised to
+            // 1000 and near-neighborhood resolution disabled
+            // (QueryFactory.java:170-182)
+            advice += "repo:" + t.drop(5).toLowerCase
+            siteDomain = true
           case _ if t.contains(":")                   => advice += norm(t)
           case _ if t.nonEmpty                        => include += norm(t)
           case _                                      =>
@@ -110,8 +122,9 @@ object QueryParser {
         advice = advice.result().distinct,
         coherences = coherences.result())),
       year = year, quality = quality, size = size, rank = rank,
-      limitByDomain = limitByDomain, limitTotal = limitTotal, params = params,
-      strategy = strategy, nearRepo = nearRepo)
+      limitByDomain = if (siteDomain) math.max(limitByDomain, 1000) else limitByDomain,
+      limitTotal = limitTotal, params = params,
+      strategy = strategy, nearRepo = if (siteDomain) None else nearRepo)
   }
 
   // ---- scanner -------------------------------------------------------------

@@ -88,6 +88,16 @@ class NearSpec extends AnyFunSuite {
     assert(viaParser.toSet === direct.toSet)
   }
 
+  test("parser: site: pins the domain — advice term, 1000/domain cap, near: disabled") {
+    // reference QuerySearchTermsAccumulator.java:95-101 + QueryFactory.java:170-182
+    val spec = QueryParser.parse("2 site:domain5", limitByDomain = 2, limitTotal = 100)
+    assert(spec.subqueries.head.advice === Seq("repo:domain5"))
+    assert(spec.limitByDomain === 1000)
+    val both = QueryParser.parse("2 site:domain5 near:domain7")
+    assert(both.nearRepo === None) // site: wins, near: ignored (reference)
+    assert(both.subqueries.head.advice === Seq("repo:domain5"))
+  }
+
   test("unknown repo has an empty neighborhood") {
     assert(QueryEngine.search(spark, index,
       wide.copy(nearRepo = Some("domain99"))).isEmpty)
