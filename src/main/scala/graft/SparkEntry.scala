@@ -167,6 +167,28 @@ object SparkEntry {
     "v2b_cosine_verify" -> ((s, dir) => VectorOps.cosineVerify(emb(s, dir), 0.35)),
     "v3_lsh_bucket" -> ((s, dir) => VectorOps.lshBuckets(emb(s, dir))),
     "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)),
+    // trained-centroid IVF, driver-checked at nProbe = k where it must equal
+    // exact brute force (validates centroids, assignment map, probe
+    // selection, cosine); pruned-probe recall is pinned in OpsSpec
+    "v4b_ivf_trained" -> ((s, dir) => {
+      val e = emb(s, dir)
+      VectorOps.ivfCentroidTopK(e, VectorOps.kmeansCentroids(e, k = 8, iters = 4),
+        0L, 20, nProbe = 8)
+    }),
+    // persisted cell-partitioned IVF snapshot, searched by vector; driver
+    // checks the full-probe degeneracy (== brute force); pruned-probe
+    // equivalence and partition pruning are spec-pinned
+    "v4c_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      VectorOps.buildIvfIndex(e, root, k = 8, iters = 4)
+      val q = e.where(col("vec_id") === 0L).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+      // k+1 then drop the query's own row (searched by vector, so it
+      // matches itself at cos 1.0)
+      VectorOps.ivfIndexTopK(s, root, q, 21, nProbe = 8)
+        .where(col("vec_id") =!= 0L)
+    }),
 
     // -- text analysis (T1-T4) ------------------------------------------------
     "t1_langid" -> ((s, dir) => TextOps.langId(docs(s, dir))),
@@ -533,6 +555,18 @@ object SparkEntry {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "v1_ann_topk" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "v4b_ivf_trained" ->
+      """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+        |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 20""".stripMargin,
+
+    "v4c_ivf_persisted" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
         |FROM embeddings CROSS JOIN q WHERE vec_id <> 0

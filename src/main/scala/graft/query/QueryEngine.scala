@@ -384,19 +384,25 @@ object QueryEngine {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
-    // Domain restriction with known ranks (near: resolution) prunes the
-    // posting SCAN: doc_range = (rank << 32 | urlId) >>> shift, so
-    // doc_range >>> (32 - shift) IS the domain rank — a site-restricted
-    // query touches only its neighborhood's rank prefixes (the same locality
-    // the reference gets from its rank-encoded posting order). The kernel's
-    // exact per-doc domain filter remains the backstop for rank collisions.
+    // Domain restriction with known ranks (near:/site:/search-set
+    // resolution) prunes the posting SCAN: doc_range = (rank << 32 | urlId)
+    // >>> shift, so each allowed rank owns the doc_range interval
+    // [rank << (32-shift), (rank+1) << (32-shift)) — a site-restricted query
+    // touches only its neighborhood's rank prefixes (the same locality the
+    // reference gets from its rank-encoded posting order). Expressed as
+    // RANGE predicates on the raw column (not a shift expression) so they
+    // push into the parquet scan and prune row groups by doc_range min/max
+    // stats. The kernel's exact per-doc domain filter remains the backstop
+    // for rank collisions.
     val rankPrefix = 32 - index.manifest.docRangeShift
     val postings0 = index.postings
       .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
     val postings =
       if (spec.domainRanks.isEmpty || rankPrefix < 0) postings0
-      else postings0.where(shiftrightunsigned($"doc_range", rankPrefix)
-        .isin(spec.domainRanks.map(_.toLong): _*))
+      else postings0.where(spec.domainRanks.map { r =>
+        val lo = r.toLong << rankPrefix
+        $"doc_range" >= lo && $"doc_range" < lo + (1L << rankPrefix)
+      }.reduce(_ || _))
     val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = index.statsCache match {
       case Some(m) =>
         (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,

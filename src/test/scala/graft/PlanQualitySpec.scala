@@ -19,6 +19,9 @@ class PlanQualitySpec extends AnyFunSuite {
     .appName("graft-plan")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.ui.enabled", "false")
+    // PushedFilters lists are truncated at 100 chars by default, which hides
+    // the filters these assertions look for
+    .config("spark.sql.maxMetadataStringLength", "4096")
     .getOrCreate()
 
   private lazy val indexDir: String = {
@@ -45,6 +48,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bucket not a partition filter:\n$plan")
     assert("PushedFilters: \\[[^\\]]*EqualTo\\(term_hash".r.findFirstIn(plan).isDefined,
       s"term_hash not pushed:\n$plan")
+  }
+
+  test("domain-rank restriction pushes doc_range intervals into the scan") {
+    // near:/site: rank-prefix pruning must arrive as RANGE predicates on the
+    // raw doc_range column (pushable, prunes row groups by min/max stats) —
+    // not as a shift expression evaluated post-scan
+    val h = graft.core.Hashes.termHash("3")
+    val bucket = (((h % 8) + 8) % 8).toInt
+    val rankPrefix = 32 - 4
+    val lo = 255L << rankPrefix // the fixture's constant rank
+    val df = spark.read.parquet(s"$indexDir/postings")
+      .where(col("bucket") === bucket && col("term_hash") === h &&
+        col("doc_range") >= lo && col("doc_range") < lo + (1L << rankPrefix))
+      .select("term_hash", "doc_range", "n")
+    val plan = planOf(df)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(doc_range".r.findFirstIn(plan).isDefined,
+      s"doc_range lower bound not pushed:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(doc_range".r.findFirstIn(plan).isDefined,
+      s"doc_range upper bound not pushed:\n$plan")
+  }
+
+  test("persisted IVF probe scan prunes cell partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfplan").toString
+    graft.ops.VectorOps.buildIvfIndex(emb, dir, k = 8, iters = 2)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0)
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val plan = planOf(graft.ops.VectorOps.ivfIndexTopK(spark, dir, q, 20, nProbe = 3))
+    // the whole point of the persisted layout: a probe reads nProbe/k of the
+    // corpus because `cell` is a partition column pruned at the scan
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not a partition filter:\n$plan")
   }
 
   test("term_stats planner lookup reads only the stats columns") {
