@@ -1,6 +1,6 @@
 package graft
 
-import graft.build.{IndexBuilder, IndexConf}
+import graft.build.{IndexBuilder, IndexConf, SnapshotMerge}
 import graft.ops._
 import graft.query.{QueryEngine, QueryParser, QuerySpec, Subquery}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -211,6 +211,26 @@ object SparkEntry {
       val terms = j.select(explode(col("keywords.term")).as("term")).distinct()
         .withColumn("term_hash", xxhash64(col("term")))
       s.read.parquet(s"$root/snapshots/snap-1/term_stats")
+        .join(terms, "term_hash")
+        .select(col("term"), col("df_full").as("df"))
+        .orderBy(col("df").desc, col("term")).limit(100)
+    }),
+
+    // e3: incremental maintenance — two disjoint half-corpus snapshots merged
+    // at the encoded-block level (SnapshotMerge, no re-tokenize / re-shuffle
+    // of raw postings) must carry the same term_stats a full rebuild carries;
+    // the oracle recomputes df over the WHOLE corpus, so any doc lost or
+    // double-counted by the merge fails the hash.
+    "e3_snapshot_merge" -> ((s, dir) => {
+      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val j = plainJournal(s, dir)
+      val conf = IndexConf(numBuckets = 16, docRangeShift = 8)
+      IndexBuilder.buildFromJournal(s, j.where(pmod(col("doc_id"), lit(2)) === 0), root, "even", conf)
+      IndexBuilder.buildFromJournal(s, j.where(pmod(col("doc_id"), lit(2)) === 1), root, "odd", conf)
+      SnapshotMerge.mergeSnapshots(s, root, "even", "odd", "merged")
+      val terms = j.select(explode(col("keywords.term")).as("term")).distinct()
+        .withColumn("term_hash", xxhash64(col("term")))
+      s.read.parquet(s"$root/snapshots/merged/term_stats")
         .join(terms, "term_hash")
         .select(col("term"), col("df_full").as("df"))
         .orderBy(col("df").desc, col("term")).limit(100)
@@ -648,6 +668,14 @@ object SparkEntry {
     // e1: the built index's term_stats over the plain fixture — df per term
     // = distinct-doc count, recomputed by DuckDB from the same tokenization.
     "e1_index_build" ->
+      s"""WITH $TokCte,
+         |t AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term)
+         |SELECT term, count(*) AS df FROM t GROUP BY term
+         |ORDER BY df DESC, term LIMIT 100""".stripMargin,
+
+    // e3: same df recomputation as e1 — the merged snapshot must carry
+    // exactly the full-corpus term_stats.
+    "e3_snapshot_merge" ->
       s"""WITH $TokCte,
          |t AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term)
          |SELECT term, count(*) AS df FROM t GROUP BY term

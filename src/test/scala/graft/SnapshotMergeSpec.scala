@@ -1,0 +1,136 @@
+package graft
+
+import graft.build.{IndexBuilder, IndexConf, SnapshotMerge}
+import graft.fixtures.Fixtures
+import graft.query._
+import graft.tables.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Incremental maintenance: merging two disjoint-half snapshots must equal a
+  * full rebuild — byte-for-byte on posting/forward blocks (same codec, same
+  * sort), row-for-row on term_stats, and result-identical on queries. The
+  * reference only ever full-rebuilds (IndexServicesFactory.java:189-209);
+  * equivalence with the full rebuild is therefore the correctness bar. */
+class SnapshotMergeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def freshRoot(): String =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "merge").toString
+
+  private val conf = IndexConf(numBuckets = 8, docRangeShift = 4, buildPrioTier = true)
+
+  // full rebuild under its own root; halves + merge under another
+  private lazy val roots: (String, String) = {
+    val j = Fixtures.factorsJournal(spark)
+    val even = j.where(col("url_id") % 2 === 0)
+    val odd = j.where(col("url_id") % 2 === 1)
+    val rootFull = freshRoot(); val rootM = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j, rootFull, "full", conf)
+    IndexBuilder.buildFromJournal(spark, even, rootM, "even", conf)
+    IndexBuilder.buildFromJournal(spark, odd, rootM, "odd", conf)
+    val m = SnapshotMerge.mergeSnapshots(spark, rootM, "even", "odd", "merged")
+    assert(m.docCount == 511)
+    (rootFull, rootM)
+  }
+
+  private def postingMap(root: String, id: String, table: String) =
+    spark.read.parquet(s"$root/snapshots/$id/$table")
+      .select("bucket", "term_hash", "doc_range", "n", "max_pos_count",
+        "blob", "skip_docs", "skip_offs")
+      .collect()
+      .map { r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+          ((r.getInt(3), r.getInt(4), r.getAs[Array[Byte]]("blob").toSeq,
+            r.getAs[collection.Seq[Long]]("skip_docs").toSeq,
+            r.getAs[collection.Seq[Int]]("skip_offs").toSeq))
+      }.toMap
+
+  test("postings blocks are byte-identical to the full rebuild") {
+    val (rootFull, rootM) = roots
+    val full = postingMap(rootFull, "full", "postings")
+    val merged = postingMap(rootM, "merged", "postings")
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (k, v) => assert(merged(k) == v, s"block $k differs") }
+  }
+
+  test("prio-tier blocks are byte-identical to the full rebuild") {
+    val (rootFull, rootM) = roots
+    val full = postingMap(rootFull, "full", "postings_prio")
+    val merged = postingMap(rootM, "merged", "postings_prio")
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (k, v) => assert(merged(k) == v, s"prio block $k differs") }
+  }
+
+  test("term_stats and fwd blocks match the full rebuild") {
+    val (rootFull, rootM) = roots
+    def stats(root: String, id: String) =
+      spark.read.parquet(s"$root/snapshots/$id/term_stats")
+        .select("term_hash", "df_full", "df_prio")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(rootM, "merged") == stats(rootFull, "full"))
+
+    def fwd(root: String, id: String) =
+      spark.read.parquet(s"$root/snapshots/$id/fwd")
+        .collect().map { r =>
+          r.getAs[Long]("doc_range") ->
+            ((r.getAs[Int]("n"), r.getAs[Int]("min_rank"), r.getAs[Int]("max_asl"),
+              r.getAs[Int]("min_quality"), r.getAs[Int]("max_topology"),
+              r.getAs[Array[Byte]]("blob_meta").toSeq,
+              r.getAs[Array[Byte]]("blob_domain").toSeq))
+        }.toMap
+    assert(fwd(rootM, "merged") == fwd(rootFull, "full"))
+  }
+
+  test("queries over the merged snapshot are result-identical to the full rebuild") {
+    val (rootFull, rootM) = roots
+    val idxFull = QueryEngine.open(rootFull, spark)
+    val idxMerged = QueryEngine.open(rootM, spark) // pointer → merged (committed last)
+    assert(idxMerged.manifest.snapshotId == "merged")
+    val specs = Seq(
+      QuerySpec(subqueries = Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))),
+        limitByDomain = 10, limitTotal = 10),
+      QuerySpec(subqueries = Seq(Subquery(include = Seq("2"), exclude = Seq("3"))),
+        limitByDomain = 5, limitTotal = 20),
+      QuerySpec(subqueries = Seq(Subquery(include = Seq("7")), Subquery(include = Seq("11"))),
+        limitByDomain = 10, limitTotal = 30))
+    specs.foreach { q =>
+      val a = QueryEngine.search(spark, idxFull, q).map(r => (r.url_id, r.score))
+      val b = QueryEngine.search(spark, idxMerged, q).map(r => (r.url_id, r.score))
+      assert(a == b, s"query $q diverged")
+    }
+  }
+
+  test("merge refuses overlapping doc_id sets") {
+    val j = Fixtures.factorsJournal(spark)
+    val root = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") <= 300), root, "a", conf)
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") >= 300), root, "b", conf)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.mergeSnapshots(spark, root, "a", "b", "bad")
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
+  test("merge refuses mismatched build configurations") {
+    val j = Fixtures.factorsJournal(spark)
+    val root = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 0), root, "c8",
+      IndexConf(numBuckets = 8, docRangeShift = 4))
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 1), root, "c16",
+      IndexConf(numBuckets = 16, docRangeShift = 4))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotMerge.mergeSnapshots(spark, root, "c8", "c16", "bad2")
+    }
+    assert(e.getMessage.contains("different configurations"))
+  }
+}
