@@ -238,7 +238,8 @@ object IndexBuilder {
   /** Build from a journal table — also the entry point for the postings-level
     * fixtures that bypass the tokenizer (FIXTURES.md §2). */
   def buildFromJournal(spark: SparkSession, journal: DataFrame, root: String,
-                       snapshotId: String, conf: IndexConf): Snapshots.Manifest = {
+                       snapshotId: String, conf: IndexConf,
+                       commitSnapshot: Boolean = true): Snapshots.Manifest = {
     import spark.implicits._
     configureCommitter(spark)
     val dir = Snapshots.stagingDir(root, snapshotId).toString
@@ -387,7 +388,9 @@ object IndexBuilder {
       lineage =
       scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
     Snapshots.writeManifest(root, manifest)
-    Snapshots.commit(root, snapshotId)
+    // commitSnapshot=false stages without swapping the pointer — the
+    // incremental-compact delta build must never be visible to readers
+    if (commitSnapshot) Snapshots.commit(root, snapshotId)
     manifest
   }
 

@@ -70,4 +70,53 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(QueryEngine.search(spark, QueryEngine.open(root),
       QuerySpec(Seq(Subquery(include = Seq("tok000"))))).nonEmpty)
   }
+
+  test("compactIncremental: delta build + block merge equals the full compact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(java.nio.file.Paths.get("target"), "stream").toString
+    val corpusDir = s"$base/corpus"
+    val root = s"$base/index"
+    val conf = IndexConf(numBuckets = 8, docRangeShift = 8)
+
+    // no committed base yet → incremental degrades to a full compact
+    (0L until 512L).map(j => Fixtures.genDoc(j, 16, 64)).toDF()
+      .coalesce(2).write.mode("append").parquet(corpusDir)
+    StreamingIngest.ingestAvailable(spark, corpusDir, root)
+    val m1 = StreamingIngest.compactIncremental(spark, root, "snap-1", conf)
+    assert(m1.docCount == 512 && QueryEngine.open(root).manifest.snapshotId == "snap-1")
+
+    // wave 2 → the incremental path must build ONLY the 512 new docs
+    (512L until 1024L).map(j => Fixtures.genDoc(j, 16, 64)).toDF()
+      .coalesce(2).write.mode("append").parquet(corpusDir)
+    StreamingIngest.ingestAvailable(spark, corpusDir, root)
+    val m2 = StreamingIngest.compactIncremental(spark, root, "snap-2", conf)
+    assert(m2.snapshotId == "snap-2" && m2.docCount == 1024)
+    val deltaDocs = spark.read.parquet(s"$root/snapshots/snap-2-delta/documents").count()
+    assert(deltaDocs == 512, s"delta built $deltaDocs docs, not just the new 512")
+
+    // merged snapshot answers across both waves identically to a full compact
+    val idx = QueryEngine.open(root)
+    val full = StreamingIngest.compact(spark, root, "snap-2-full", conf)
+    assert(full.docCount == 1024)
+    val idxFull = QueryEngine.open(root)
+    assert(idxFull.manifest.snapshotId == "snap-2-full")
+    Seq(Seq("tok000"), Seq("rl_12_0"), Seq("tok001", "tok002")).foreach { terms =>
+      val q = QuerySpec(Seq(Subquery(include = terms)))
+      val a = QueryEngine.search(spark, idx, q).map(r => (r.url_id, r.score))
+      val b = QueryEngine.search(spark, idxFull, q).map(r => (r.url_id, r.score))
+      assert(a == b && a.nonEmpty, s"incremental vs full diverged on $terms")
+    }
+
+    // nothing new → returns the committed base unchanged, no new snapshot
+    graft.tables.Snapshots.commit(root, "snap-2")
+    val m3 = StreamingIngest.compactIncremental(spark, root, "snap-3", conf)
+    assert(m3.snapshotId == "snap-2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "snapshots", "snap-3")))
+
+    // config change → falls back to a full rebuild under the new config
+    val m4 = StreamingIngest.compactIncremental(spark, root, "snap-4",
+      IndexConf(numBuckets = 16, docRangeShift = 8))
+    assert(m4.snapshotId == "snap-4" && m4.numBuckets == 16 && m4.docCount == 1024)
+  }
 }
