@@ -155,6 +155,7 @@ object SparkEntry {
     "d2b_lsh_pairs" -> ((s, dir) => DedupOps.lshCandidatePairs(docs(s, dir))),
     "d3_simhash" -> ((s, dir) => DedupOps.simhash16(docs(s, dir))),
     "d5_dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docs(s, dir))),
+    "d6_embedding_dedup" -> ((s, dir) => DedupOps.embeddingDedup(emb(s, dir), 0.35)),
     "d4_jaccard_pairs" -> ((s, dir) => DedupOps.jaccardPairs(docs(s, dir), 100L, 0.8)),
     "d4b_jaccard_verify" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -562,6 +563,17 @@ object SparkEntry {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d5_dedup_components" -> DedupOps.dedupComponentsOracleSql(8),
+
+    // d6: embedding-cosine near-dup groups — v2b's bucketed pair CTE feeding
+    // the shared label-propagation chain.
+    "d6_embedding_dedup" -> DedupOps.labelPropagationSql(
+      s"""s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings),
+         |prs AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE))""".stripMargin,
+      8,
+      "SELECT doc_id AS vec_id, component, doc_id = component AS is_canonical FROM l8 ORDER BY vec_id"),
 
     "d4_jaccard_pairs" ->
       s"""WITH $TokCte,

@@ -177,12 +177,20 @@ object DedupOps {
     * iteration over the same band construction as d2b). `iters` must be at
     * least the propagation depth the data needs — the Spark side runs to
     * fixpoint, so any sufficient count matches. */
-  def dedupComponentsOracleSql(iters: Int): String = {
+  def dedupComponentsOracleSql(iters: Int): String =
+    labelPropagationSql(lshCteSql, iters,
+      s"SELECT doc_id, component FROM l$iters ORDER BY doc_id")
+
+  /** DuckDB min-label-propagation chain over a candidate-pair CTE: the caller
+    * supplies WITH-clause CTEs ending in `prs(a_id, b_id)` and the final
+    * SELECT (reading `l<iters>(doc_id, component)`). Shared by the d5
+    * (MinHash-LSH) and d6 (embedding-cosine) component oracles. */
+  def labelPropagationSql(prsCtes: String, iters: Int, select: String): String = {
     // MATERIALIZED: each l_i references l_{i-1} twice — without the hint
     // DuckDB inlines CTEs, re-expanding the whole chain 2^iters times (at
     // 8 iterations that exhausts file handles re-scanning the base table)
     val base =
-      s"""WITH ${lshCteSql},
+      s"""WITH $prsCtes,
          |edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM prs UNION ALL SELECT b_id, a_id FROM prs),
          |l0 AS MATERIALIZED (SELECT DISTINCT src AS doc_id, src AS component FROM edges)""".stripMargin
     val steps = (1 to iters).map { i =>
@@ -193,9 +201,25 @@ object DedupOps {
          |  LEFT JOIN l${i - 1} n ON n.doc_id = e.dst
          |  GROUP BY l.doc_id, l.component)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT doc_id, component FROM l$iters ORDER BY doc_id"
+    (base +: steps).mkString(",\n") + s"\n$select"
   }
+
+  /** Embedding-cosine near-duplicate groups — sign-LSH buckets propose
+    * (occupancy-bounded same-bucket join, never corpus²), exact cosine ≥
+    * `threshold` verifies ([[VectorOps.cosineVerify]]), fixpoint min-label
+    * propagation groups. `component` is the group's min vec_id;
+    * `is_canonical` marks the one vector per group a dedup pass keeps.
+    * Vectors with no near-duplicate are omitted (they trivially keep
+    * themselves) — same contract as [[dedupComponents]]. Cross-bucket near
+    * pairs are sign-LSH's tunable recall trade (see cosineVerify). */
+  def embeddingDedup(emb: DataFrame, threshold: Double, planes: Int = 4,
+                     maxIters: Int = 64): DataFrame =
+    componentsFromPairs(
+      VectorOps.cosineVerify(emb, threshold, planes).select(col("a_id"), col("b_id")),
+      maxIters)
+      .select(col("doc_id").as("vec_id"), col("component"),
+        (col("doc_id") === col("component")).as("is_canonical"))
+      .orderBy("vec_id")
 
   /** Exact token-set Jaccard for a CANDIDATE PAIR table (a_id, b_id) — the
     * scale path: LSH proposes, this verifies. Token sets are aggregated only

@@ -98,6 +98,25 @@ class OpsSpec extends AnyFunSuite {
     assert(viaLsh.nonEmpty)
   }
 
+  test("embeddingDedup groups transitively and flags one canonical per group") {
+    import spark.implicits._
+    // three vectors on a chain: a≈b, b≈c, cos(a,c) lower but all in one sign
+    // bucket → one component via transitivity; d is orthogonal, no near-dup
+    val a = Array(1.0f, 0.0f, 0.05f, 0.0f)
+    val b = Array(0.9f, 0.0f, 0.45f, 0.0f)
+    val c = Array(0.6f, 0.0f, 0.8f, 0.0f)
+    val d = Array(0.0f, -1.0f, 0.0f, 0.1f)
+    val emb = Seq((0L, a), (1L, b), (2L, c), (7L, d)).toDF("vec_id", "embedding")
+    val out = DedupOps.embeddingDedup(emb, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false)),
+      s"got ${out.toSeq}")
+    // sanity: a·c alone is below the threshold — only the chain connects them
+    val cosAC = VectorOps.cosinePairs(emb.where($"vec_id".isin(0L, 2L)), Long.MaxValue, 0.0)
+      .collect().head.getDouble(2)
+    assert(cosAC < 0.8, s"fixture broken: cos(a,c)=$cosAC")
+  }
+
   test("query paths agree: one-shot local, progressive WAND fetch, distributed") {
     import graft.build.{IndexBuilder, IndexConf}
     import graft.fixtures.Fixtures
