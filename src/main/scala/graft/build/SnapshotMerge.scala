@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per table:
   *  - postings (and postings_prio): union of two bucket-partitioned block
-  *    tables → one exchange ON ENCODED BLOCKS hashed by bucket →
+  *    tables → one exchange ON ENCODED BLOCKS hashed by (bucket, docRange) →
   *    sortWithinPartitions(term, range) → single-pass adjacent-pair merge
   *    (≤2 blocks share a (term, range) key — each build emits exactly one).
   *    Decode + merge-sort + re-encode happens only for keys present on BOTH
@@ -87,14 +87,14 @@ object SnapshotMerge {
     unionTable("documents", IndexBuilder.StageDocs)
 
     if (!Snapshots.isStageDone(root, outId, IndexBuilder.StagePostings)) {
-      mergedPostings(spark, s"$baseDir/postings", s"$deltaDir/postings", nb)
+      mergedPostings(spark, s"$baseDir/postings", s"$deltaDir/postings")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
       Snapshots.markStageDone(root, outId, IndexBuilder.StagePostings)
     }
     val withPrio = base.stagesDone.contains(IndexBuilder.StagePrio) &&
       delta.stagesDone.contains(IndexBuilder.StagePrio)
     if (withPrio && !Snapshots.isStageDone(root, outId, IndexBuilder.StagePrio)) {
-      mergedPostings(spark, s"$baseDir/postings_prio", s"$deltaDir/postings_prio", nb)
+      mergedPostings(spark, s"$baseDir/postings_prio", s"$deltaDir/postings_prio")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings_prio")
       Snapshots.markStageDone(root, outId, IndexBuilder.StagePrio)
     }
@@ -136,14 +136,19 @@ object SnapshotMerge {
     * so a two-pointer merge reproduces the exact array a full rebuild sorts —
     * the re-encoded blob is byte-identical to the rebuilt one. */
   private def mergedPostings(spark: SparkSession, basePath: String,
-                             deltaPath: String, nb: Int): Dataset[PostingBlock] = {
+                             deltaPath: String): Dataset[PostingBlock] = {
     import spark.implicits._
     val cols = Seq("bucket", "term_hash", "doc_range", "n", "max_pos_count",
       "blob", "skip_docs", "skip_offs").map(col)
     spark.read.parquet(basePath).select(cols: _*)
       .unionByName(spark.read.parquet(deltaPath).select(cols: _*))
       .as[PostingBlock]
-      .repartition(nb, $"bucket")
+      // distribute by (bucket, RANGE), not bucket alone: the pair-merge only
+      // needs a key's ≤2 blocks co-located, and range-level distribution
+      // keeps merge parallelism ∝ shuffle partitions instead of capping it
+      // at numBuckets (the build's head-term salt, IndexConf.saltByRange,
+      // exists for the same reason)
+      .repartition($"bucket", $"doc_range")
       .sortWithinPartitions($"bucket", $"term_hash", $"doc_range")
       .mapPartitions { it =>
         val buf = it.buffered
