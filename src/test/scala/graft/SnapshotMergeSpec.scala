@@ -110,6 +110,29 @@ class SnapshotMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("N-way merge: three thirds fold in one pass, byte-identical to the full rebuild") {
+    val (rootFull, _) = roots
+    val j = Fixtures.factorsJournal(spark)
+    val root3 = freshRoot()
+    (0 to 2).foreach { r =>
+      IndexBuilder.buildFromJournal(spark,
+        j.where(pmod(col("url_id"), lit(3)) === r), root3, s"third$r", conf)
+    }
+    val m = SnapshotMerge.mergeSnapshots(spark, root3,
+      Seq("third0", "third1", "third2"), "merged3")
+    assert(m.docCount == 511)
+    val full = postingMap(rootFull, "full", "postings")
+    val merged = postingMap(root3, "merged3", "postings")
+    assert(merged.keySet == full.keySet)
+    full.foreach { case (k, v) => assert(merged(k) == v, s"block $k differs") }
+    // query identity too
+    val q = QuerySpec(subqueries = Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))),
+      limitByDomain = 10, limitTotal = 10)
+    val a = QueryEngine.search(spark, QueryEngine.open(rootFull, spark), q).map(r => (r.url_id, r.score))
+    val b = QueryEngine.search(spark, QueryEngine.open(root3, spark), q).map(r => (r.url_id, r.score))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("merge refuses overlapping doc_id sets") {
     val j = Fixtures.factorsJournal(spark)
     val root = freshRoot()
