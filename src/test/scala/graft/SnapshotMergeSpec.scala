@@ -133,6 +133,64 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("tombstoned merge equals a full rebuild without the deleted docs") {
+    val j = Fixtures.factorsJournal(spark)
+    val dels = j.where(col("url_id").isin(30, 90, 101)).select("doc_id")
+    val root = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 0), root, "even", conf)
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 1), root, "odd", conf)
+    val m = SnapshotMerge.mergeSnapshots(spark, root, Seq("even", "odd"), "merged", Some(dels))
+    assert(m.docCount == 508)
+    val rootRef = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j.join(dels, Seq("doc_id"), "left_anti"),
+      rootRef, "ref", conf)
+    for (table <- Seq("postings", "postings_prio")) {
+      val got = postingMap(root, "merged", table)
+      val want = postingMap(rootRef, "ref", table)
+      assert(got.keySet == want.keySet, s"$table keys differ")
+      want.foreach { case (k, v) => assert(got(k) == v, s"$table block $k differs") }
+    }
+    def stats(r: String, id: String) =
+      spark.read.parquet(s"$r/snapshots/$id/term_stats")
+        .select("term_hash", "df_full", "df_prio")
+        .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(stats(root, "merged") == stats(rootRef, "ref"))
+    def fwdMap(r: String, id: String) =
+      spark.read.parquet(s"$r/snapshots/$id/fwd").collect().map { x =>
+        x.getAs[Long]("doc_range") ->
+          ((x.getAs[Int]("n"), x.getAs[Int]("min_rank"), x.getAs[Int]("max_asl"),
+            x.getAs[Int]("min_quality"), x.getAs[Int]("max_topology"),
+            x.getAs[Array[Byte]]("blob_meta").toSeq,
+            x.getAs[Array[Byte]]("blob_domain").toSeq))
+      }.toMap
+    assert(fwdMap(root, "merged") == fwdMap(rootRef, "ref"))
+    // the deleted docs 30 and 90 disappear from the reference query's results
+    val q = QuerySpec(subqueries = Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))),
+      limitByDomain = 10, limitTotal = 10)
+    val got = QueryEngine.search(spark, QueryEngine.open(root, spark), q).map(_.url_id)
+    assert(got == Seq(150, 210, 270, 330, 390, 450, 510), s"got $got")
+    val want = QueryEngine.search(spark, QueryEngine.open(rootRef, spark), q).map(_.url_id)
+    assert(got == want)
+  }
+
+  test("purgeSnapshot rewrites a single snapshot without its tombstoned docs") {
+    val j = Fixtures.factorsJournal(spark)
+    val root = freshRoot()
+    IndexBuilder.buildFromJournal(spark, j, root, "full", conf)
+    val dels = j.where(col("url_id") === 30).select("doc_id")
+    val m = SnapshotMerge.purgeSnapshot(spark, root, "full", "purged", dels)
+    assert(m.docCount == 510)
+    val q = QuerySpec(subqueries = Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))),
+      limitByDomain = 10, limitTotal = 10)
+    val got = QueryEngine.search(spark, QueryEngine.open(root, spark), q).map(_.url_id)
+    assert(got == Seq(90, 150, 210, 270, 330, 390, 450, 510))
+    // tombstones matching nothing: purge is an identity copy
+    val none = j.where(col("url_id") === -1).select("doc_id")
+    val m2 = SnapshotMerge.purgeSnapshot(spark, root, "purged", "purged2", none)
+    assert(m2.docCount == 510)
+    assert(postingMap(root, "purged2", "postings") == postingMap(root, "purged", "postings"))
+  }
+
   test("merge refuses overlapping doc_id sets") {
     val j = Fixtures.factorsJournal(spark)
     val root = freshRoot()
