@@ -214,7 +214,7 @@ object SnapshotMerge {
     * was encoded from a rank_doc_id-sorted disjoint run, so folding
     * two-pointer merges reproduces the exact array a full rebuild sorts —
     * the re-encoded blob is byte-identical to the rebuilt one. */
-  private def mergedPostings(spark: SparkSession, paths: Seq[String],
+  private[graft] def mergedPostings(spark: SparkSession, paths: Seq[String],
       bcDel: org.apache.spark.broadcast.Broadcast[(Set[Long], Set[Long])]): Dataset[PostingBlock] = {
     import spark.implicits._
     val cols = Seq("bucket", "term_hash", "doc_range", "n", "max_pos_count",
@@ -287,7 +287,7 @@ object SnapshotMerge {
     * by min/max, or are recomputed from surviving doc metas when the range
     * is tombstone-affected (keeping them EXACT, not just conservative, so
     * the merged snapshot stays byte-equivalent to a rebuild). */
-  private def mergedFwd(spark: SparkSession, paths: Seq[String],
+  private[graft] def mergedFwd(spark: SparkSession, paths: Seq[String],
       bcDel: org.apache.spark.broadcast.Broadcast[(Set[Long], Set[Long])]): Dataset[FwdBlock] = {
     import spark.implicits._
     paths.map(spark.read.parquet(_)).reduce(_ unionByName _)

@@ -155,4 +155,22 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, saw $exchanges:\n$plan")
   }
+
+  test("snapshot merge runs exactly one wide shuffle over encoded blocks") {
+    import graft.build.{IndexBuilder, IndexConf, SnapshotMerge}
+    val root = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("target"), "planmerge").toString
+    val j = Fixtures.factorsJournal(spark)
+    val conf = IndexConf(numBuckets = 4, docRangeShift = 4)
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 0), root, "a", conf)
+    IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 1), root, "b", conf)
+    val bcNone = spark.sparkContext.broadcast((Set.empty[Long], Set.empty[Long]))
+    val merged = SnapshotMerge.mergedPostings(spark,
+      Seq(s"$root/snapshots/a/postings", s"$root/snapshots/b/postings"), bcNone)
+    val plan = planOf(merged.toDF())
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle in the merge, saw $exchanges:\n$plan")
+    // and the union stays below the exchange: no per-input shuffle
+    assert(plan.contains("Union"), s"expected a pre-shuffle Union:\n$plan")
+  }
 }
