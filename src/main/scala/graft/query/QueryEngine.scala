@@ -246,9 +246,29 @@ object QueryEngine {
     new Index(root, m, spark)
   }
 
+  /** Open a SPECIFIC snapshot by id — committed or merely staged. Staged
+    * handles are the parts of a live view ([[searchParts]]): the committed
+    * base plus deltas staged by `IndexBuilder.buildFromJournal(...,
+    * commitSnapshot = false)` that compaction hasn't folded in yet. */
+  def openSnapshot(root: String, snapshotId: String, spark: SparkSession): Index = {
+    val m = Snapshots.stagedManifest(root, snapshotId).getOrElse(
+      throw new IllegalStateException(s"no staged snapshot $snapshotId under $root"))
+    new Index(root, m, spark)
+  }
+
   // -------------------------------------------------------------------------
 
-  def search(spark: SparkSession, index: Index, specIn: QuerySpec): Seq[SearchResult] = {
+  def search(spark: SparkSession, index: Index, specIn: QuerySpec): Seq[SearchResult] =
+    search(spark, index, specIn, None)
+
+  /** Corpus-wide statistics injected when `index` is one PART of a live
+    * multi-snapshot view: scoring must use global df/docCount or per-part
+    * idf would diverge from the compacted snapshot's. */
+  private final case class LiveStats(
+      statsFor: Seq[Long] => Map[Long, (Long, Long)], docCount: Long)
+
+  private def search(spark: SparkSession, index: Index, specIn: QuerySpec,
+                     liveStats: Option[LiveStats]): Seq[SearchResult] = {
     import spark.implicits._
 
     // `near:` resolution (reference DbNearDomainsQuery): the repo's
@@ -403,19 +423,25 @@ object QueryEngine {
         val lo = r.toLong << rankPrefix
         $"doc_range" >= lo && $"doc_range" < lo + (1L << rankPrefix)
       }.reduce(_ || _))
-    val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = index.statsCache match {
-      case Some(m) =>
+    val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = liveStats match {
+      case Some(gs) =>
+        val m = gs.statsFor(hashes)
         (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
          hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
-      case None =>
-        val rows = index.termStats
-          .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-          .select($"term_hash", $"df_full", $"df_prio")
-          .collect()
-        (rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap,
-         rows.iterator.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+      case None => index.statsCache match {
+        case Some(m) =>
+          (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
+           hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
+        case None =>
+          val rows = index.termStats
+            .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+            .select($"term_hash", $"df_full", $"df_prio")
+            .collect()
+          (rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+           rows.iterator.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+      }
     }
-    val docCount = index.manifest.docCount
+    val docCount = liveStats.map(_.docCount).getOrElse(index.manifest.docCount)
 
     // ---- head-term directory guard (VERDICT r2 task #3) ---------------------
     // The planner's block directory is one row per (query term, doc range);
@@ -813,6 +839,104 @@ object QueryEngine {
   def searchDF(spark: SparkSession, index: Index, spec: QuerySpec): DataFrame = {
     import spark.implicits._
     search(spark, index, spec).toDF()
+  }
+
+  // ---- live multi-snapshot view ---------------------------------------------
+
+  /** Query a LIVE VIEW of several disjoint snapshots — the committed base
+    * plus staged deltas that compaction hasn't folded in yet — without
+    * merging anything. Reads never wait for compaction; writes stage deltas
+    * ([[graft.build.IndexBuilder.buildFromJournal]] with `commitSnapshot =
+    * false`) and fold them in with [[graft.build.SnapshotMerge]] on their
+    * own cadence.
+    *
+    * Scatter-gather over parts, the way sharded engines serve one logical
+    * index: every part runs the ordinary exact kernel but scores with
+    * GLOBAL document frequencies and docCount (injected — per-part idf
+    * would diverge from the compacted snapshot's), then one driver-side
+    * merge re-applies the final comparator, the per-domain cap, and the
+    * total limit. Per-part top-k under the same caps contains every global
+    * winner (a result beating the caps globally beats them in its own part
+    * a fortiori), so the merged list is EXACTLY what the same query returns
+    * on the compacted snapshot — pinned in SnapshotMergeSpec. */
+  def searchParts(spark: SparkSession, parts: Seq[Index],
+                  specIn: QuerySpec): Seq[SearchResult] = {
+    require(parts.nonEmpty, "searchParts needs at least one part")
+    if (parts.size == 1) return search(spark, parts.head, specIn)
+    val head = parts.head.manifest
+    parts.tail.foreach { p =>
+      require(p.manifest.stemming == head.stemming && p.manifest.ngrams == head.ngrams &&
+        p.manifest.docRangeShift == head.docRangeShift,
+        s"live-view parts built with different configurations: $head vs ${p.manifest}")
+    }
+
+    // `near:` must resolve against ONE neighbors table (deltas usually lack
+    // it); resolve on the first part that has one so every part sees the
+    // same restriction, same rules as the single-snapshot path
+    val spec: QuerySpec = specIn.nearRepo match {
+      case Some(r) =>
+        parts.find(_.domainNeighbors.nonEmpty).flatMap(_.domainNeighbors) match {
+          case Some(nb) =>
+            val rows = nb.where(col("repo") === r)
+              .select(col("neighbor_id"), col("neighbor_rank")).collect()
+            if (rows.isEmpty) return Nil
+            specIn.copy(nearRepo = None,
+              domains = (specIn.domains ++ rows.map(_.getInt(0))).distinct,
+              domainRanks =
+                if (specIn.domains.nonEmpty) Nil
+                else rows.map(_.getInt(1)).distinct.toSeq)
+          case None => specIn // every part degrades identically via advice
+        }
+      case None => specIn
+    }
+
+    // global stats = per-part sums for the query's hashes; memoized — every
+    // part resolves the same term set, so the cross-part lookup runs once
+    val memo = new java.util.concurrent.ConcurrentHashMap[Seq[Long], Map[Long, (Long, Long)]]()
+    def statsFor(hashes: Seq[Long]): Map[Long, (Long, Long)] =
+      memo.computeIfAbsent(hashes, { hs =>
+        parts.map { p =>
+          p.statsCache match {
+            case Some(m) => hs.flatMap(h => m.get(h).map(h -> _)).toMap
+            case None =>
+              val buckets = hs.map(h =>
+                IndexBuilderRef.bucketOf(h, p.manifest.numBuckets)).distinct
+              p.termStats
+                .where(col("bucket").isin(buckets: _*) && col("term_hash").isin(hs: _*))
+                .select(col("term_hash"), col("df_full"), col("df_prio"))
+                .collect()
+                .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          }
+        }.reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map { h =>
+            val (af, ap) = a.getOrElse(h, (0L, 0L))
+            val (bf, bp) = b.getOrElse(h, (0L, 0L))
+            h -> ((af + bf, ap + bp))
+          }.toMap
+        }
+      })
+    val live = LiveStats(statsFor, parts.map(_.manifest.docCount).sum)
+
+    val perPart = parts.map(p => search(spark, p, spec, Some(live)))
+    mergePartResults(perPart, spec)
+  }
+
+  /** Re-apply the final selection (comparator order, per-domain cap, total
+    * limit, per-domain recount) across parts — [[selectBest]] on
+    * already-selected part results. */
+  private def mergePartResults(perPart: Seq[Seq[SearchResult]],
+                               spec: QuerySpec): Seq[SearchResult] = {
+    val ordered = perPart.flatten
+      .sortBy(r => (!r.has_priority_term, r.score, r.ranking, r.url_id))
+    val domainCounts = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[SearchResult]
+    ordered.foreach { r =>
+      domainCounts(r.domain_id) += 1
+      if (domainCounts(r.domain_id) <= spec.limitByDomain) selected += r
+    }
+    val top = selected.take(spec.limitTotal)
+    val topCounts = top.groupBy(_.domain_id).map { case (d, rs) => d -> rs.size.toLong }
+    top.map(r => r.copy(results_from_domain = topCounts(r.domain_id))).toSeq
   }
 }
 

@@ -133,6 +133,25 @@ class SnapshotMergeSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("live view: searchParts over the staged halves equals the merged snapshot") {
+    val (_, rootM) = roots
+    val pEven = QueryEngine.openSnapshot(rootM, "even", spark)
+    val pOdd = QueryEngine.openSnapshot(rootM, "odd", spark)
+    val merged = QueryEngine.open(rootM, spark)
+    val specs = Seq(
+      QuerySpec(Seq(Subquery(include = Seq("3", "5", "2"), exclude = Seq("4"))),
+        limitByDomain = 10, limitTotal = 10),
+      // tight domain cap: exercises the cross-part re-cap in the merge
+      QuerySpec(Seq(Subquery(include = Seq("2"))), limitByDomain = 2, limitTotal = 15),
+      QuerySpec(Seq(Subquery(include = Seq("7")), Subquery(include = Seq("11"))),
+        limitByDomain = 3, limitTotal = 20))
+    specs.foreach { q =>
+      val live = QueryEngine.searchParts(spark, Seq(pEven, pOdd), q)
+      val comp = QueryEngine.search(spark, merged, q)
+      assert(live == comp && live.nonEmpty, s"live view diverged on $q:\n$live\nvs\n$comp")
+    }
+  }
+
   test("tombstoned merge equals a full rebuild without the deleted docs") {
     val j = Fixtures.factorsJournal(spark)
     val dels = j.where(col("url_id").isin(30, 90, 101)).select("doc_id")

@@ -119,4 +119,43 @@ class StreamingIngestSpec extends AnyFunSuite {
       IndexConf(numBuckets = 16, docRangeShift = 8))
     assert(m4.snapshotId == "snap-4" && m4.numBuckets == 16 && m4.docCount == 1024)
   }
+
+  test("stageDelta + searchParts serve a live view matching the eventual compact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory(java.nio.file.Paths.get("target"), "stream").toString
+    val corpusDir = s"$base/corpus"
+    val root = s"$base/index"
+    val conf = IndexConf(numBuckets = 8, docRangeShift = 8)
+    (0L until 512L).map(j => Fixtures.genDoc(j, 16, 64)).toDF()
+      .coalesce(2).write.mode("append").parquet(corpusDir)
+    StreamingIngest.ingestAvailable(spark, corpusDir, root)
+    StreamingIngest.compact(spark, root, "snap-1", conf)
+
+    // wave 2 staged as a delta — the reader pointer must not move
+    (512L until 1024L).map(j => Fixtures.genDoc(j, 16, 64)).toDF()
+      .coalesce(2).write.mode("append").parquet(corpusDir)
+    StreamingIngest.ingestAvailable(spark, corpusDir, root)
+    val d = StreamingIngest.stageDelta(spark, root, "delta-1", conf)
+    assert(d.exists(_.docCount == 512), s"stageDelta returned $d")
+    assert(QueryEngine.open(root).manifest.snapshotId == "snap-1",
+      "staging a delta moved the reader pointer")
+
+    // live view sees both waves; single-snapshot readers see only wave 1
+    val q = QuerySpec(Seq(Subquery(include = Seq("tok000"))),
+      limitByDomain = 3, limitTotal = 30)
+    val parts = Seq(QueryEngine.openSnapshot(root, "snap-1", spark),
+      QueryEngine.openSnapshot(root, "delta-1", spark))
+    val live = QueryEngine.searchParts(spark, parts, q)
+    val qWave2 = QuerySpec(Seq(Subquery(include = Seq("rl_12_0"))))
+    assert(QueryEngine.searchParts(spark, parts, qWave2).nonEmpty,
+      "live view blind to the staged delta")
+    assert(QueryEngine.search(spark, QueryEngine.open(root), qWave2).isEmpty,
+      "base alone should not see wave 2")
+
+    // after folding the delta in, the compacted snapshot returns the same list
+    graft.build.SnapshotMerge.mergeSnapshots(spark, root, "snap-1", "delta-1", "snap-2")
+    val compacted = QueryEngine.search(spark, QueryEngine.open(root), q)
+    assert(QueryEngine.open(root).manifest.snapshotId == "snap-2")
+    assert(live == compacted && live.nonEmpty, s"live $live\nvs compacted $compacted")
+  }
 }
