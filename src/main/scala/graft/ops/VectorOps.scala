@@ -42,14 +42,21 @@ object VectorOps {
   }
 
   /** All near pairs among vec_id < idBound with cosine ≥ threshold
-    * (embedding-cosine near-dup detection). */
+    * (embedding-cosine near-dup detection). Norms are hoisted to one
+    * computation per VECTOR before the join (bit-identical: the same
+    * sqrt(dot(e,e)) expression, evaluated once instead of once per pair) —
+    * per-pair work drops from 3 to 1 array traversals. */
   def cosinePairs(emb: DataFrame, idBound: Long, threshold: Double): DataFrame = {
-    val sub = emb.where(col("vec_id") < idBound).select("vec_id", "embedding")
-    val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val sub = emb.where(col("vec_id") < idBound)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
+    val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+      col("n").as("a_n"))
+    val b = sub.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      col("n").as("b_n"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos"))
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4)
+          .as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("a_id", "b_id")
   }
@@ -89,12 +96,18 @@ object VectorOps {
     * are the (tunable) recall loss every sign-LSH scheme trades for scale —
     * raise recall with fewer planes or multi-probe, not a crossJoin. */
   def cosineVerify(emb: DataFrame, threshold: Double, planes: Int = 4): DataFrame = {
-    val b = emb.select(col("vec_id"), col("embedding"), bucketExpr(planes).as("bucket"))
-    val l = b.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val r = b.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    // norm hoisted to one computation per vector (before the bucket join);
+    // per candidate pair only the dot product traverses the arrays
+    val b = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("n"), bucketExpr(planes).as("bucket"))
+    val l = b.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"), col("n").as("a_n"))
+    val r = b.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"), col("n").as("b_n"))
     l.join(r, "bucket").where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(cosine(col("a_emb"), col("b_emb")), 4).as("cos"))
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4)
+          .as("cos"))
       .where(col("cos") >= threshold)
       .orderBy("a_id", "b_id")
   }
