@@ -104,7 +104,13 @@ object Bench {
     // best-of-2 per query: this VM's hypervisor stalls put phantom 1.3-1.4×
     // regressions on unchanged code in single-sample round diffs
     // (BENCH_r01→r02 q_conj_not/v1); the second sample also runs against a
-    // warmed session, which is the regime the latency section measures
+    // warmed session, which is the regime the latency section measures.
+    // Only queries under the resample threshold get a second run: the noise
+    // that motivated best-of-2 is RELATIVE and bites sub-second queries,
+    // while the e2e-pipeline slots (e3 builds two indexes and merges them)
+    // are dominated by real work where a duplicate run just burns suite
+    // wall-clock (~40 s at sf0.1) without changing any conclusion
+    val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "5.0").toDouble
     val results = if (skipSuite) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): Double = {
@@ -112,7 +118,8 @@ object Bench {
           try { fn(sparkSuite, sfDir).count() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        name -> math.min(once(), once())
+        val first = once()
+        name -> (if (first < resampleUnder) math.min(first, once()) else first)
       }
     // materialize the scaling corpus once (input is a stored table, not a
     // generator — north rule input_hint)
@@ -189,8 +196,6 @@ object Bench {
     }.toArray.sorted
     val p50B = percentile(latB, 0.50)
     val p95B = percentile(latB, 0.95)
-    sparkHi.stop()
-
     sparkHi.stop()
 
     val efficiency = math.min(1.0, median(pairResults.map { case (lo, hi) =>
