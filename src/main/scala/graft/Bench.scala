@@ -106,11 +106,15 @@ object Bench {
     // (BENCH_r01→r02 q_conj_not/v1); the second sample also runs against a
     // warmed session, which is the regime the latency section measures.
     // Only queries under the resample threshold get a second run: the noise
-    // that motivated best-of-2 is RELATIVE and bites sub-second queries,
-    // while the e2e-pipeline slots (e3 builds two indexes and merges them)
-    // are dominated by real work where a duplicate run just burns suite
-    // wall-clock (~40 s at sf0.1) without changing any conclusion
-    val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "5.0").toDouble
+    // that motivated best-of-2 is RELATIVE, and a minutes-long hypervisor
+    // episode can inflate a 1 s query to 10 s (observed: d5 4.1→23 s,
+    // q_prio_stratified 0.9→11.6 s in one episode-hit suite) — so the
+    // threshold sits ABOVE the episode-inflated range of every cheap query.
+    // Only the truly expensive e2e-pipeline slots (q_phrase_engine builds an
+    // ngram index in its slot; e3 builds two snapshots and merges them) skip
+    // the second run: they are dominated by real work where a duplicate run
+    // just burns suite wall-clock without changing any conclusion.
+    val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "20.0").toDouble
     val results = if (skipSuite) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): Double = {

@@ -21,6 +21,20 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch root for the slots that build an index/IVF snapshot inside the
+    * query (e1/e2/e3, n1_near, q_phrase_engine, v4c) — reclaimed at JVM exit
+    * so repeated bench/verify runs don't strand gigabytes under /tmp. */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete(): Unit
+      }
+      try rm(p.toFile) catch { case _: Throwable => }
+    }))
+    p.toString
+  }
+
   /** Flagship: BM25 retrieval over the documents table (sf0.001). */
   def entry(spark: SparkSession): DataFrame =
     TextOps.bm25TopK(docs(spark, "/root/testdata/sf0.001"), Seq("spark", "query", "window"), 10)
@@ -161,6 +175,7 @@ object SparkEntry {
       val d = docs(s, dir)
       DedupOps.jaccardVerify(d, DedupOps.lshCandidatePairs(d), 0.5)
     }),
+    "d7_span_dedup" -> ((s, dir) => DedupOps.duplicateSpans(docs(s, dir), 8)),
 
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
@@ -181,7 +196,7 @@ object SparkEntry {
     // equivalence and partition pruning are spec-pinned
     "v4c_ivf_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      val root = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      val root = tempDir("graft-ivf")
       VectorOps.buildIvfIndex(e, root, k = 8, iters = 4)
       val q = e.where(col("vec_id") === 0L).select(col("embedding"))
         .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
@@ -196,6 +211,9 @@ object SparkEntry {
     "t2_quality" -> ((s, dir) => TextOps.quality(docs(s, dir))),
     "t3_token_stats" -> ((s, dir) => TextOps.tokenStats(docs(s, dir))),
     "t4_fingerprint" -> ((s, dir) => TextOps.fingerprint(docs(s, dir))),
+    "t5_repetition" -> ((s, dir) => TextOps.repetition(docs(s, dir))),
+    "t6_sample_stratified" -> ((s, dir) =>
+      TextOps.sampleStratified(docs(s, dir), Map("en" -> 40), default = 15)),
 
     // -- multimodal plumbing (stubbed decode) --------------------------------
     "mm1_decode_stub" -> ((s, dir) =>
@@ -205,7 +223,7 @@ object SparkEntry {
     // space-tokenized journal fixture (plainJournal): e1 = term_stats df,
     // e2 = the reference BM25 chain end-to-end ------------------------------
     "e1_index_build" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val root = tempDir("graft-idx")
       val j = plainJournal(s, dir)
       IndexBuilder.buildFromJournal(s, j, root, "snap-1",
         IndexConf(numBuckets = 16, docRangeShift = 8))
@@ -223,7 +241,7 @@ object SparkEntry {
     // the oracle recomputes df over the WHOLE corpus, so any doc lost or
     // double-counted by the merge fails the hash.
     "e3_snapshot_merge" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val root = tempDir("graft-idx")
       val j = plainJournal(s, dir)
       val conf = IndexConf(numBuckets = 16, docRangeShift = 8)
       IndexBuilder.buildFromJournal(s, j.where(pmod(col("doc_id"), lit(2)) === 0), root, "even", conf)
@@ -238,7 +256,7 @@ object SparkEntry {
     }),
 
     "e2_engine_bm25" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val root = tempDir("graft-idx")
       IndexBuilder.buildFromJournal(s, plainJournal(s, dir), root, "snap-1",
         IndexConf(numBuckets = 16, docRangeShift = 8))
       val idx = QueryEngine.open(root, s)
@@ -257,7 +275,7 @@ object SparkEntry {
     // each token its own position group, so a coherence backstop would
     // reject everything; SiteNgramSpec covers the parser/promotion path.
     "q_phrase_engine" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val root = tempDir("graft-idx")
       IndexBuilder.buildFromJournal(s, plainJournal(s, dir, spans = true), root, "snap-1",
         IndexConf(numBuckets = 16, docRangeShift = 8, ngrams = true))
       val idx = QueryEngine.open(root, s)
@@ -275,7 +293,7 @@ object SparkEntry {
     // arithmetic. Distinct per-domain ranks exercise the engine's
     // doc_range rank-prefix scan pruning.
     "n1_near" -> ((s, dir) => {
-      val root = java.nio.file.Files.createTempDirectory("graft-idx").toString
+      val root = tempDir("graft-idx")
       IndexBuilder.buildFromJournal(s, plainJournal(s, dir, nDomains = 16), root, "snap-1",
         IndexConf(numBuckets = 16, docRangeShift = 8))
       val links = s.range(0, 16).selectExpr(
@@ -553,6 +571,16 @@ object SparkEntry {
 
     "d4b_jaccard_verify" -> DedupOps.jaccardVerifyOracleSql(0.5),
 
+    // d7: cross-doc duplicate 8-token spans (exact-substring-dedup unit) —
+    // per-doc DISTINCT spans, then count across docs.
+    "d7_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, i FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 7),
+        |g AS (SELECT DISTINCT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3]
+        |  || '_' || toks[i+4] || '_' || toks[i+5] || '_' || toks[i+6] || '_' || toks[i+7] AS span FROM p)
+        |SELECT span, count(*) AS n_docs FROM g GROUP BY span HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, span""".stripMargin,
+
     "d3_simhash" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -669,6 +697,31 @@ object SparkEntry {
       s"""WITH $TokPosCte
          |SELECT doc_id, CAST(sum((('0x' || substring(md5(term), 1, 15))::BIGINT % 1073741824) * ((i % 64) + 1)) % 2147483647 AS BIGINT) AS fp
          |FROM p WHERE term <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t5: Gopher repetition signals — grams over raw positions, one
+    // (doc, n, gram) count, per-(doc, n) summary, per-doc pivot.
+    "t5_repetition" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, i FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks)),
+         |g AS (SELECT doc_id, 1 AS n, toks[i] AS gram FROM p
+         |  UNION ALL SELECT doc_id, 2, toks[i] || '_' || toks[i+1] FROM p WHERE i <= len(toks) - 1
+         |  UNION ALL SELECT doc_id, 3, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] FROM p WHERE i <= len(toks) - 2),
+         |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+         |s AS (SELECT doc_id, n, max(c) AS m, sum(c) AS tot,
+         |  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM c GROUP BY doc_id, n)
+         |SELECT doc_id,
+         |CAST(max(CASE WHEN n = 1 THEN tot END) AS BIGINT) AS n_tok,
+         |round(max(CASE WHEN n = 1 THEN CAST(m AS DOUBLE) / CAST(tot AS DOUBLE) END), 6) AS top1_frac,
+         |round(max(CASE WHEN n = 2 THEN CAST(m AS DOUBLE) / CAST(tot AS DOUBLE) END), 6) AS top2_frac,
+         |round(max(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(tot AS DOUBLE) END), 6) AS dup3_frac
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t6: deterministic md5-keyed stratified sampling (en 40%, others 15%).
+    "t6_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |  < (CASE WHEN lang = 'en' THEN 40 ELSE 15 END)
+        |ORDER BY doc_id""".stripMargin,
 
     "mm1_decode_stub" ->
       """SELECT doc_id, length(text)::BIGINT AS byte_len,

@@ -263,4 +263,22 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
+
+  /** Cross-document duplicate n-token spans — the detection unit of exact
+    * substring deduplication (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": verbatim ≥50-token spans repeated across
+    * the corpus; the span length is a parameter here). Spans are built
+    * row-locally (no shuffle), deduplicated WITHIN each doc by
+    * `array_distinct` before the generator, so the single wide exchange is a
+    * map-side-combined count keyed by span where every (doc, span) weighs 1 —
+    * the count IS the document frequency. At 100 TB, hash the span
+    * (TextOps.h60) instead of carrying the text; kept as text here so the
+    * result is audit-readable. */
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.gramArray(col("toks"), n))).as("span"))
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("span"))
 }

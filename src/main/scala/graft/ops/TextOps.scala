@@ -205,4 +205,56 @@ object TextOps {
       .agg((sum(col("h") * (col("i") % 64 + 1)) % 2147483647L).as("fp"))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+
+  /** n-gram array over the raw split, built row-locally (same
+    * projection-collapse discipline as DedupOps.shingles: `toks` is bound to
+    * a column first, adjacency never leaves the row, zero shuffle). Position
+    * i covers toks(i..i+n-1), 1-based, joined with '_'. */
+  private[graft] def gramArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n, transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws("_", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** T5: within-document repetition signals, the Gopher/MassiveText
+    * repetition filters (Rae et al. 2021, "Scaling Language Models", table A1)
+    * over whitespace tokens:
+    *   top1_frac — occurrences of the most frequent unigram / total tokens,
+    *   top2_frac — occurrences of the most frequent 2-gram / total 2-grams,
+    *   dup3_frac — fraction of 3-gram positions whose 3-gram repeats in-doc.
+    *
+    * One generator pass per gram order unioned BEFORE the aggregation, so the
+    * whole operator is exactly two map-side-combined hash aggregates keyed by
+    * doc — at 100 TB the exchanges carry (doc, n, gram, count) partials and
+    * per-(doc, n) summaries, never raw token streams. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val exploded = (1 to 3).map(n =>
+        base.select(col("doc_id"), lit(n).as("n"), explode(gramArray(col("toks"), n)).as("gram")))
+      .reduce(_ unionAll _)
+    val counted = exploded.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    val perN = counted.groupBy("doc_id", "n").agg(
+      max("c").as("m"), sum("c").as("tot"),
+      sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    perN.groupBy("doc_id").agg(
+      max(when(col("n") === 1, col("tot"))).as("n_tok"),
+      round(max(when(col("n") === 1, col("m").cast("double") / col("tot").cast("double"))), 6).as("top1_frac"),
+      round(max(when(col("n") === 2, col("m").cast("double") / col("tot").cast("double"))), 6).as("top2_frac"),
+      round(max(when(col("n") === 3, col("dup").cast("double") / col("tot").cast("double"))), 6).as("dup3_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** T6: deterministic hash-based stratified sampling — the data-mixing
+    * primitive of corpus curation (per-language keep rates, reproducible
+    * across runs and engines because the sampling key is md5(doc_id), not an
+    * RNG). Pure narrow filter: no shuffle, trivially scales, and at 100 TB
+    * the same predicate pushes into the scan. `rates` maps lang → percent
+    * kept (0-100); `default` covers unlisted languages. */
+  def sampleStratified(docs: DataFrame, rates: Map[String, Int], default: Int): DataFrame = {
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(default)) {
+      case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    docs.where(h60(col("doc_id").cast("string")) % 100L < rate)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
 }

@@ -227,4 +227,54 @@ class OpsSpec extends AnyFunSuite {
         s"persisted != inline at nProbe=$nProbe")
     }
   }
+
+  test("repetition computes the Gopher signals on a hand-checked fixture") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a b"),     // top1 = 3/4; 2-grams a_a a_a a_b → top2 = 2/3;
+                           // 3-grams a_a_a a_a_b all unique → dup3 = 0
+      (1L, "x y x y x")    // top1 = 3/5; 2-grams x_y y_x x_y y_x → top2 = 2/4;
+                           // 3-grams x_y_x y_x_y x_y_x → dup3 = 2/3
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetition(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(0L) === ((4L, 0.75, 0.666667, 0.0)))
+    assert(got(1L) === ((5L, 0.6, 0.5, 0.666667)))
+    // two hash aggregates + the output sort; the gram arrays never shuffle
+    val plan = planOf(TextOps.repetition(docs))
+    assert(!plan.contains("Window"), "row-local grams, no per-doc window")
+  }
+
+  test("duplicateSpans counts per-doc-distinct spans across docs only") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "p q r"), (1L, "p q s"), (2L, "z p q"),  // p_q in 3 docs
+      (3L, "m n m n"), (4L, "k m n")                 // m_n twice in doc 3 → 1
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpans(docs, n = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got === Seq("p_q" -> 3L, "m_n" -> 2L), s"got $got")
+    val plan = planOf(DedupOps.duplicateSpans(docs, n = 2))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
+  }
+
+  test("sampleStratified is a deterministic pushable filter with per-lang rates") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = TextOps.sampleStratified(docs, Map("en" -> 40), default = 15)
+    val twice = TextOps.sampleStratified(docs, Map("en" -> 40), default = 15)
+    assert(kept.collect().toSeq === twice.collect().toSeq, "same sample every run")
+    // rate 100 keeps everything, rate 0 keeps nothing
+    assert(TextOps.sampleStratified(docs, Map.empty, 100).count() === docs.count())
+    assert(TextOps.sampleStratified(docs, Map.empty, 0).count() === 0L)
+    // en is kept at a visibly higher rate than the 15% default strata
+    val total = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = keptByLang.getOrElse("en", 0L).toDouble / total("en")
+    val restKept = (keptByLang - "en").values.sum.toDouble
+    val restTotal = (total - "en").values.sum.toDouble
+    assert(enRate > restKept / restTotal, s"en $enRate vs rest ${restKept / restTotal}")
+    // narrow plan: no exchange before the output sort, no aggregation
+    val plan = planOf(kept)
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
 }
