@@ -79,6 +79,37 @@ object Bench {
     ()
   }
 
+  /** Bus-equalized control (opt-in, SPARK_GRAFT_BUS_EQUALIZE): while the lo
+    * side builds on its `lo` pinned cores, saturate the other `hi − lo`
+    * cores with memcpy hogs (dd from tmpfs), so BOTH sides of the pair run
+    * at the SAME memory-bus operating point. Rationale: this VM's bus is the
+    * binding resource — pure memcpy itself scales at only ~0.65 from 2→8
+    * busy cores (scripts/bandwidth_probe.sh), while pure compute scales at
+    * ~0.94 — and a real cluster at 4× the NODES brings 4× the buses, so the
+    * raw thread-scaled ratio under-reports cluster scaling by construction.
+    * Holding total bus pressure constant isolates what the criterion is
+    * after: does the ENGINE add coordination/serial overhead at 4× the
+    * parallelism? Reported as `efficiency_bus_equalized`, never as the
+    * headline number. */
+  private def startHogs(loCores: Int, hiCores: Int): Seq[Process] = {
+    val big = s"$workDir/hogfile"
+    val p = java.nio.file.Paths.get(big)
+    if (!java.nio.file.Files.exists(p)) {
+      val buf = new Array[Byte](1 << 20)
+      val out = java.nio.file.Files.newOutputStream(p)
+      (0 until 512).foreach(_ => out.write(buf)); out.close()
+    }
+    (loCores until hiCores).map { c =>
+      new ProcessBuilder("taskset", "-c", c.toString, "sh", "-c",
+        s"while :; do dd if=$big of=/dev/null bs=1M 2>/dev/null; done").start()
+    }
+  }
+
+  private def stopHogs(hogs: Seq[Process]): Unit = hogs.foreach { h =>
+    h.descendants().forEach(d => { d.destroyForcibly(); () })
+    h.destroyForcibly(); h.waitFor()
+  }
+
   private def timedBuild(spark: SparkSession, corpusPath: String, nDocs: Long,
                          root: String): Double = {
     val t0 = System.nanoTime()
@@ -182,12 +213,15 @@ object Bench {
     // capture before any pinning: availableProcessors() reflects the current
     // affinity mask once restricted
     val allCores = Runtime.getRuntime.availableProcessors()
+    val busEqualize = sys.env.contains("SPARK_GRAFT_BUS_EQUALIZE")
     var rootHi = ""
     val pairResults = (1 to pairs).map { i =>
       val sparkLo0 = session(lowCores)
       sparkLo0.sparkContext.setLogLevel("ERROR")
       if (pinCores) setAffinity(lowCores)
-      val lo = timedBuild(sparkLo0, corpusPath, nDocs, s"$work/idx-lo-$i")
+      val hogs = if (busEqualize) startHogs(lowCores, highCores) else Nil
+      val lo = try timedBuild(sparkLo0, corpusPath, nDocs, s"$work/idx-lo-$i")
+               finally stopHogs(hogs)
       if (pinCores) setAffinity(allCores)
       sparkLo0.stop()
       val sparkHi0 = session(highCores)

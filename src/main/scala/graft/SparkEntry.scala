@@ -215,6 +215,8 @@ object SparkEntry {
     "t6_sample_stratified" -> ((s, dir) =>
       TextOps.sampleStratified(docs(s, dir), Map("en" -> 40), default = 15)),
 
+    "t7_pack_chunks" -> ((s, dir) => TextOps.packChunks(docs(s, dir), 2048L)),
+
     // -- multimodal plumbing (stubbed decode) --------------------------------
     "mm1_decode_stub" -> ((s, dir) =>
       MultiModalOps.decodeMeta(s, docs(s, dir)).toDF().orderBy("doc_id")),
@@ -722,6 +724,8 @@ object SparkEntry {
         |WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
         |  < (CASE WHEN lang = 'en' THEN 40 ELSE 15 END)
         |ORDER BY doc_id""".stripMargin,
+
+    "t7_pack_chunks" -> TextOps.packChunksOracleSql(2048L),
 
     "mm1_decode_stub" ->
       """SELECT doc_id, length(text)::BIGINT AS byte_len,

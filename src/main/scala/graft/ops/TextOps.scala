@@ -4,6 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+/** Phase-2 output of [[TextOps.packChunks]]: a doc placed at its stream
+  * offset. Top-level so the Dataset encoder stays codegen-compatible
+  * (nested private case classes force interpreted fallback). */
+private[graft] case class PackedDoc(lang: String, doc_id: Long, start: Long, n: Long)
+
 /** Relational text-analysis operators over a `documents(doc_id, text, lang,
   * source, n_chars)` table — the tokenize → tf → df → TF-IDF → BM25 chain of
   * the index pipeline (SURVEY §2.4 A1/A4/A5, §2.7 C6) expressed declaratively
@@ -257,4 +262,86 @@ object TextOps {
       .select("doc_id", "lang")
       .orderBy("doc_id")
   }
+
+  /** T7: token-budget sequence packing — the "concatenate and chunk into
+    * fixed-length training sequences" step of LLM pretraining (each language
+    * is one deterministic document stream ordered by doc_id; chunk c covers
+    * stream tokens [c·budget, (c+1)·budget)). Emits one row per
+    * (doc, chunk) intersection with the token count the doc contributes, so
+    * a doc spanning a boundary appears in both chunks.
+    *
+    * The stream offset is a per-language prefix sum. A
+    * `Window.partitionBy(lang)` would sort EACH LANGUAGE INTO ONE TASK — at
+    * 100 TB the dominant language is most of the corpus, so that window is a
+    * single-machine sort. Instead: two-phase distributed prefix sum over a
+    * slim (lang, doc_id, n) projection — range-repartition by (lang, doc_id)
+    * keeps the sort distributed; phase 1 collects one (partition, lang,
+    * token-total) row per partition×language (bounded by the shuffle
+    * partition count, NOT the corpus); phase 2 re-walks each sorted
+    * partition with its language's broadcast base offsets. The projection is
+    * persisted between phases so both walk the SAME partitioning. */
+  def packChunks(docs: DataFrame, budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sorted = docs
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .repartitionByRange(col("lang"), col("doc_id"))
+      .sortWithinPartitions("lang", "doc_id")
+      .select(spark_partition_id().as("pid"), col("lang"), col("doc_id"), col("n"))
+      .as[(Int, String, Long, Long)]
+      .persist()
+    try {
+      // phase 1: per-(partition, lang) token totals → per-(partition, lang)
+      // base offset = totals of the same lang in earlier partitions. Range
+      // partitioning guarantees earlier pid ⇒ earlier (lang, doc_id) keys.
+      val totals = sorted.groupBy($"pid", $"lang").agg(sum($"n").as("t"))
+        .as[(Int, String, Long)].collect().sortBy(_._1)
+      val baseOffset: Map[(Int, String), Long] = {
+        val run = scala.collection.mutable.Map.empty[String, Long]
+        totals.map { case (pid, lang, t) =>
+          val off = run.getOrElse(lang, 0L)
+          run(lang) = off + t
+          (pid, lang) -> off
+        }.toMap
+      }
+      val bOff = spark.sparkContext.broadcast(baseOffset)
+      // phase 2: walk each sorted partition once, carrying a running offset
+      // per language seeded from the broadcast bases
+      val placed = sorted.mapPartitions { it =>
+        val run = scala.collection.mutable.Map.empty[String, Long]
+        it.map { case (pid, lang, docId, n) =>
+          val start = run.getOrElse(lang, bOff.value.getOrElse((pid, lang), 0L))
+          run(lang) = start + n
+          PackedDoc(lang, docId, start, n)
+        }
+      }.toDF()
+      placed
+        .select(col("lang"), col("doc_id"), col("start"), col("n"),
+          explode(sequence(expr(s"start div ${budget}L"),
+            expr(s"(start + n - 1) div ${budget}L"))).as("chunk"))
+        .select(col("lang"), col("doc_id"), col("chunk"),
+          (least(col("start") + col("n"), (col("chunk") + 1) * budget)
+            - greatest(col("start"), col("chunk") * budget)).as("toks"))
+        .orderBy("lang", "doc_id", "chunk")
+    } finally sorted.unpersist()
+  }
+
+  /** DuckDB oracle for [[packChunks]] — the single-node window form of the
+    * same math (fine at oracle scale; the Spark side exists precisely
+    * because this window doesn't distribute). */
+  def packChunksOracleSql(budget: Long): String =
+    s"""WITH t AS (
+       |  SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+       |         CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+       |           PARTITION BY lang ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+       |  FROM documents)
+       |SELECT lang, doc_id, chunk,
+       |       least(start + n, (chunk + 1) * $budget) - greatest(start, chunk * $budget) AS toks
+       |FROM (SELECT lang, doc_id, n, start,
+       |        unnest(generate_series(start // $budget, (start + n - 1) // $budget)) AS chunk
+       |      FROM t) u
+       |ORDER BY lang, doc_id, chunk""".stripMargin
 }

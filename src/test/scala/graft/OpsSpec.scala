@@ -2,6 +2,7 @@ package graft
 
 import graft.ops._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -276,5 +277,51 @@ class OpsSpec extends AnyFunSuite {
     // narrow plan: no exchange before the output sort, no aggregation
     val plan = planOf(kept)
     assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
+
+  test("packChunks: hand fixture, per-lang streams, boundary split, no Window") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c", "en"),          // en stream tokens [0,3)
+      (1L, "d e", "en"),            // [3,5) — fills chunk 0 exactly
+      (2L, "f g h i j k l", "en"),  // [5,12) — spans chunks 1 and 2
+      (3L, "x y", "fr")             // fr stream restarts at 0
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.packChunks(docs, budget = 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("en", 0L, 0L, 3L), ("en", 1L, 0L, 2L),
+      ("en", 2L, 1L, 5L), ("en", 2L, 2L, 2L),
+      ("fr", 3L, 0L, 2L)), s"got $got")
+    // the scale property the op exists for: no partition-by-lang Window
+    assert(!planOf(TextOps.packChunks(docs, 5L)).contains("Window"))
+  }
+
+  test("packChunks two-phase prefix sum equals the single-node window form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val budget = 2048L
+    val got = TextOps.packChunks(docs, budget)
+    // single-node reference: the window form of the same math
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = docs
+      .select(col("lang"), col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("start", coalesce(sum("n").over(w), lit(0L)))
+      .select(col("lang"), col("doc_id"),
+        explode(sequence(expr(s"start div ${budget}L"),
+          expr(s"(start + n - 1) div ${budget}L"))).as("chunk"),
+        col("start"), col("n"))
+      .select(col("lang"), col("doc_id"), col("chunk"),
+        (least(col("start") + col("n"), (col("chunk") + 1) * budget)
+          - greatest(col("start"), col("chunk") * budget)).as("toks"))
+      .orderBy("lang", "doc_id", "chunk")
+    assert(got.collect().toSeq === ref.collect().toSeq)
+    // every chunk but each language's last is exactly full
+    val full = got.groupBy("lang", "chunk").agg(sum("toks").as("t"))
+    val lastChunk = full.groupBy("lang").agg(max("chunk").as("mc"))
+    val nonLast = full.join(lastChunk, Seq("lang")).where(col("chunk") < col("mc"))
+    assert(nonLast.where(col("t") =!= budget).count() === 0L)
   }
 }
