@@ -110,6 +110,56 @@ object Bench {
     h.destroyForcibly(); h.waitFor()
   }
 
+  /** Child-JVM build (opt-in, SPARK_GRAFT_CHILD_JVM): run one timed build in
+    * a FRESH JVM pinned to cores 0..n-1 with -XX:ActiveProcessorCount=n, so
+    * GC worker counts, Spark's internal thread pools, and
+    * availableProcessors-derived sizing all match the advertised core count
+    * — the faithful model of "a cluster of N cores". In-process pinning
+    * (taskset alone) still leaves GC/pool sizing at the launch-time 32, which
+    * mis-sizes BOTH sides. The child does one small untimed build first so
+    * pair 1 isn't JIT-cold. */
+  private def childBuild(cores: Int, corpusPath: String, nDocs: Long,
+                         root: String): Double = {
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", javaBin) ++ addOpens ++ Seq(
+      s"-XX:ActiveProcessorCount=$cores", "-Xmx24g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "--build-once", corpusPath, root, cores.toString,
+      nDocs.toString, workDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val code = p.waitFor()
+    require(code == 0, s"child build exited $code")
+    out.linesIterator.collectFirst {
+      case l if l.startsWith("DOCS_PER_SEC=") => l.stripPrefix("DOCS_PER_SEC=").toDouble
+    }.getOrElse(sys.error(s"child build printed no DOCS_PER_SEC: $out"))
+  }
+
+  /** Entry point of the child JVM spawned by [[childBuild]]. */
+  private def buildOnceMain(args: Array[String]): Unit = {
+    val Array(corpusPath, root, coresS, nDocsS, work) = args
+    workDir = work
+    val spark = session(coresS.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    // untimed warm-up: JIT the tokenize/encode hot paths in THIS JVM
+    Fixtures.corpus(spark, 32, 256).toDF()
+      .write.mode("overwrite").parquet(s"$work/warm-child-$coresS")
+    IndexBuilder.buildFromCorpus(spark, spark.read.parquet(s"$work/warm-child-$coresS"),
+      s"$work/warm-child-idx-$coresS", "snap-1", IndexConf(8, 8))
+    val dps = timedBuild(spark, corpusPath, nDocsS.toLong, root)
+    spark.stop()
+    println(s"DOCS_PER_SEC=$dps")
+  }
+
   private def timedBuild(spark: SparkSession, corpusPath: String, nDocs: Long,
                          root: String): Double = {
     val t0 = System.nanoTime()
@@ -133,6 +183,7 @@ object Bench {
     else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--build-once")) return buildOnceMain(args.tail)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val suiteCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_LOW", "2").toInt
@@ -214,23 +265,36 @@ object Bench {
     // affinity mask once restricted
     val allCores = Runtime.getRuntime.availableProcessors()
     val busEqualize = sys.env.contains("SPARK_GRAFT_BUS_EQUALIZE")
+    val childJvm = sys.env.contains("SPARK_GRAFT_CHILD_JVM")
     var rootHi = ""
     val pairResults = (1 to pairs).map { i =>
-      val sparkLo0 = session(lowCores)
-      sparkLo0.sparkContext.setLogLevel("ERROR")
-      if (pinCores) setAffinity(lowCores)
-      val hogs = if (busEqualize) startHogs(lowCores, highCores) else Nil
-      val lo = try timedBuild(sparkLo0, corpusPath, nDocs, s"$work/idx-lo-$i")
-               finally stopHogs(hogs)
-      if (pinCores) setAffinity(allCores)
-      sparkLo0.stop()
-      val sparkHi0 = session(highCores)
-      sparkHi0.sparkContext.setLogLevel("ERROR")
+      val lo = {
+        val hogs = if (busEqualize) startHogs(lowCores, highCores) else Nil
+        try {
+          if (childJvm) childBuild(lowCores, corpusPath, nDocs, s"$work/idx-lo-$i")
+          else {
+            val sparkLo0 = session(lowCores)
+            sparkLo0.sparkContext.setLogLevel("ERROR")
+            if (pinCores) setAffinity(lowCores)
+            val v = timedBuild(sparkLo0, corpusPath, nDocs, s"$work/idx-lo-$i")
+            if (pinCores) setAffinity(allCores)
+            sparkLo0.stop()
+            v
+          }
+        } finally stopHogs(hogs)
+      }
       rootHi = s"$work/idx-hi-$i"
-      if (pinCores) setAffinity(highCores)
-      val hi = timedBuild(sparkHi0, corpusPath, nDocs, rootHi)
-      if (pinCores) setAffinity(allCores)
-      if (i < pairs) sparkHi0.stop() // keep the last hi session for queries
+      val hi =
+        if (childJvm) childBuild(highCores, corpusPath, nDocs, rootHi)
+        else {
+          val sparkHi0 = session(highCores)
+          sparkHi0.sparkContext.setLogLevel("ERROR")
+          if (pinCores) setAffinity(highCores)
+          val v = timedBuild(sparkHi0, corpusPath, nDocs, rootHi)
+          if (pinCores) setAffinity(allCores)
+          if (i < pairs) sparkHi0.stop() // keep the last hi session for queries
+          v
+        }
       (lo, hi)
     }
     // Robust paired estimator (VERDICT r2 "what's wrong #2"): a slow episode
@@ -246,7 +310,10 @@ object Bench {
     }
     val loDps = median(pairResults.map(_._1))
     val hiDps = median(pairResults.map(_._2))
-    val sparkHi = org.apache.spark.sql.SparkSession.active
+    val sparkHi =
+      if (childJvm) { // builds ran in child JVMs; queries run here
+        val s = session(highCores); s.sparkContext.setLogLevel("ERROR"); s
+      } else org.apache.spark.sql.SparkSession.active
 
     // ---- 3. query latency over the reference set ----------------------------
     val idx = QueryEngine.open(rootHi)

@@ -560,8 +560,14 @@ object QueryEngine {
     // the driver, the reference holds the whole index in RAM); budgeted
     // queries keep the tight cap so early termination can skip fetch volume.
     val totalDf = hashes.iterator.map(h => dfFull.getOrElse(h, 0L)).sum
+    // A budgeted query whose ENTIRE candidate volume fits inside the budget
+    // can never early-terminate (candidates scored ≤ Σ df ≤ fetchBudget), so
+    // its result is provably the exact result — route it through the exact
+    // fast path and save the directory + champion-scan + batched-fetch job
+    // round-trips that dominate small-query latency in budgeted mode.
+    val budgetCannotBite = spec.fetchBudget > 0 && totalDf <= spec.fetchBudget
     val singleJobCap =
-      if (spec.fetchBudget > 0) spec.localEvalMaxPostings
+      if (spec.fetchBudget > 0 && !budgetCannotBite) spec.localEvalMaxPostings
       else spec.localEvalMaxPostings * 16
     if (index.fwdRowCache.isDefined && totalDf <= singleJobCap) {
       val postingRows = postings.select(unifiedPostingCols: _*).collect()

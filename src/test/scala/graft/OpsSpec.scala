@@ -153,6 +153,11 @@ class OpsSpec extends AnyFunSuite {
       val budgeted = QueryEngine.search(spark, idx,
         base.copy(localEvalMaxPostings = 256L, fetchBudget = 64L))
       assert(budgeted.map(_.url_id).distinct.size === budgeted.size, s"budget dups for '$q'")
+      // a budget the whole candidate volume fits under cannot bite: the
+      // budgeted result must EQUAL exact (and takes the single-job fast path)
+      val budgetNoBite = key(QueryEngine.search(spark, idx,
+        base.copy(fetchBudget = 1L << 30)))
+      assert(budgetNoBite === oneShot, s"no-bite budget vs exact for '$q'")
     }
   }
 
