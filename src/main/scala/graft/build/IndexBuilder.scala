@@ -30,7 +30,8 @@ final case class FwdInput(doc_range: Long, rank_doc_id: Long, doc_meta: Long, do
 /** Encoded posting block for one (term, docRange). `max_pos_count` is the
   * block-max bound used by WAND pruning. */
 final case class PostingBlock(
-    bucket: Int, term_hash: Long, doc_range: Long, n: Int, max_pos_count: Int,
+    bucket: Int, term_hash: Long, doc_range: Long, n: Int, n_prio: Int,
+    max_pos_count: Int,
     blob: Array[Byte], skip_docs: Array[Long], skip_offs: Array[Int])
 
 /** Forward-index block for one docRange: rank_doc_id → (doc_meta, domain_id)
@@ -316,26 +317,31 @@ object IndexBuilder {
     val stagePrioF = Future { if (conf.buildPrioTier &&
         !Snapshots.isStageDone(root, snapshotId, StagePrio)) {
       val prio = explodedPostings.filter(p => (p.term_meta & WordFlags.PriorityMask) != 0L)
-      encodeBlocks(prio, conf, StagePrio, lineageAcc, keepMeta = false)
+      encodeBlocks(prio, conf, StagePrio, lineageAcc, keepMeta = false, allPrio = true)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/postings_prio")
       Snapshots.markStageDone(root, snapshotId, StagePrio)
     }}
 
     // -- stage: term stats (df per tier; A1/A6) -------------------------------
-    val stageStatsF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageStats)) {
-      journal.select(explode($"keywords").as("kw"))
-        .select(xxhash64($"kw.term").as("term_hash"), $"kw.meta".as("term_meta"))
-        .groupBy($"term_hash")
-        .agg(
-          count(lit(1)).as("df_full"),
-          sum(when($"term_meta".bitwiseAND(lit(WordFlags.PriorityMask)) =!= 0L, 1L)
-            .otherwise(0L)).as("df_prio"))
-        .withColumn("bucket", pmod($"term_hash", lit(conf.numBuckets.toLong)).cast("int"))
-        .select($"bucket", $"term_hash", $"df_full", $"df_prio")
-        .repartition(conf.numBuckets, $"bucket") // one output file per bucket dir
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/term_stats")
-      Snapshots.markStageDone(root, snapshotId, StageStats)
-    }}
+    // Derived FROM THE ENCODED BLOCKS, not by a second journal explode: each
+    // block already counts its distinct docs (n) and its priority-flagged
+    // postings (n_prio, counted during encode), so Σ per term over ~100k
+    // block rows replaces a full journal scan + 52M-row explode+aggregate
+    // per build (SnapshotMerge re-derives stats from merged blocks the same
+    // way — this is the equivalence its tombstone path already relies on).
+    // Chained after the postings future; still concurrent with docs/fwd.
+    val stageStatsF = stagePostingsF.map { _ =>
+      if (!Snapshots.isStageDone(root, snapshotId, StageStats)) {
+        spark.read.parquet(s"$dir/postings")
+          .groupBy($"term_hash")
+          .agg(sum($"n").as("df_full"), sum($"n_prio").as("df_prio"))
+          .withColumn("bucket", pmod($"term_hash", lit(conf.numBuckets.toLong)).cast("int"))
+          .select($"bucket", $"term_hash", $"df_full", $"df_prio")
+          .repartition(conf.numBuckets, $"bucket") // one output file per bucket dir
+          .write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/term_stats")
+        Snapshots.markStageDone(root, snapshotId, StageStats)
+      }
+    }
 
     // -- stage: forward blocks ------------------------------------------------
     val stageFwdF = Future { if (!Snapshots.isStageDone(root, snapshotId, StageFwd)) {
@@ -452,7 +458,8 @@ object IndexBuilder {
     * segment-sort layout (ReverseIndexFullConverter.java:70-103). */
   private def encodeBlocks(postings: Dataset[RawPosting], conf: IndexConf, stage: String,
                            lineage: org.apache.spark.util.CollectionAccumulator[LineageRow],
-                           keepMeta: Boolean): Dataset[PostingBlock] = {
+                           keepMeta: Boolean,
+                           allPrio: Boolean = false): Dataset[PostingBlock] = {
     val spark = postings.sparkSession
     import spark.implicits._
     val nb = conf.numBuckets
@@ -482,13 +489,18 @@ object IndexBuilder {
         def flush(): Unit = if (docs.nonEmpty) {
           val (blob, skip) = PostingCodec.encode(docs.toArray, metas.toArray)
           var maxPc = 0
+          var nPrio = 0
           var i = 0
           while (i < metas.length) {
             val pc = WordMeta.positionCount(metas(i))
             if (pc > maxPc) maxPc = pc
+            if ((metas(i) & WordFlags.PriorityMask) != 0L) nPrio += 1
             i += 1
           }
-          out += PostingBlock(curBucket, curTerm, curRange, docs.length, maxPc,
+          // a prio-tier block zeroes its metas (keepMeta=false), but every
+          // posting in it carries a priority flag by construction
+          if (allPrio) nPrio = docs.length
+          out += PostingBlock(curBucket, curTerm, curRange, docs.length, nPrio, maxPc,
             blob, skip.docIds, skip.offsets)
           totalPostings += docs.length
           totalBytes += blob.length

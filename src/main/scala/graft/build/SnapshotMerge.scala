@@ -149,13 +149,13 @@ object SnapshotMerge {
     unionTable("documents", IndexBuilder.StageDocs)
 
     if (!Snapshots.isStageDone(root, outId, IndexBuilder.StagePostings)) {
-      mergedPostings(spark, dirs.map(d => s"$d/postings"), bcDel)
+      mergedPostings(spark, dirs.map(d => s"$d/postings"), bcDel, prioTier = false)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
       Snapshots.markStageDone(root, outId, IndexBuilder.StagePostings)
     }
     val withPrio = manifests.forall(_.stagesDone.contains(IndexBuilder.StagePrio))
     if (withPrio && !Snapshots.isStageDone(root, outId, IndexBuilder.StagePrio)) {
-      mergedPostings(spark, dirs.map(d => s"$d/postings_prio"), bcDel)
+      mergedPostings(spark, dirs.map(d => s"$d/postings_prio"), bcDel, prioTier = true)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings_prio")
       Snapshots.markStageDone(root, outId, IndexBuilder.StagePrio)
     }
@@ -167,19 +167,14 @@ object SnapshotMerge {
           dirs.map(d => spark.read.parquet(s"$d/term_stats")).reduce(_ unionByName _)
             .groupBy($"term_hash")
             .agg(sum($"df_full").as("df_full"), sum($"df_prio").as("df_prio"))
-        else {
-          // with deletions: re-derive df from the merged posting blocks
-          // (each block's n counts distinct docs for its (term, range), so
-          // Σn per term = df — the journal-side derivation's exact equal)
-          val full = spark.read.parquet(s"$outDir/postings")
-            .groupBy($"term_hash").agg(sum($"n").as("df_full"))
-          val prio =
-            if (withPrio) spark.read.parquet(s"$outDir/postings_prio")
-              .groupBy($"term_hash").agg(sum($"n").as("df_prio"))
-            else full.select($"term_hash", lit(0L).as("df_prio")).limit(0)
-          full.join(prio, Seq("term_hash"), "left")
-            .na.fill(0L, Seq("df_prio"))
-        }
+        else
+          // with deletions: re-derive df from the merged posting blocks —
+          // each full-tier block counts its distinct docs (n) and its
+          // priority-flagged postings (n_prio), so Σ per term equals the
+          // build-side derivation exactly (IndexBuilder stats stage)
+          spark.read.parquet(s"$outDir/postings")
+            .groupBy($"term_hash")
+            .agg(sum($"n").as("df_full"), sum($"n_prio").as("df_prio"))
       stats
         .withColumn("bucket", pmod($"term_hash", lit(nb.toLong)).cast("int"))
         .select($"bucket", $"term_hash", $"df_full", $"df_prio")
@@ -215,10 +210,11 @@ object SnapshotMerge {
     * two-pointer merges reproduces the exact array a full rebuild sorts —
     * the re-encoded blob is byte-identical to the rebuilt one. */
   private[graft] def mergedPostings(spark: SparkSession, paths: Seq[String],
-      bcDel: org.apache.spark.broadcast.Broadcast[(Set[Long], Set[Long])]): Dataset[PostingBlock] = {
+      bcDel: org.apache.spark.broadcast.Broadcast[(Set[Long], Set[Long])],
+      prioTier: Boolean): Dataset[PostingBlock] = {
     import spark.implicits._
-    val cols = Seq("bucket", "term_hash", "doc_range", "n", "max_pos_count",
-      "blob", "skip_docs", "skip_offs").map(col)
+    val cols = Seq("bucket", "term_hash", "doc_range", "n", "n_prio",
+      "max_pos_count", "blob", "skip_docs", "skip_offs").map(col)
     paths.map(p => spark.read.parquet(p).select(cols: _*)).reduce(_ unionByName _)
       .as[PostingBlock]
       // distribute by (bucket, RANGE), not bucket alone: the run merge only
@@ -242,30 +238,36 @@ object SnapshotMerge {
             val pa = PostingCodec.decode(a.blob)
             var docs = pa.docIds; var metas = pa.metas
             var maxPos = a.max_pos_count
+            var nPrio = a.n_prio
             while (buf.hasNext && sameKey(buf.head, a)) {
               val b = buf.next()
               val pb = PostingCodec.decode(b.blob)
               val m = mergeSorted(docs, metas, pb.docIds, pb.metas)
               docs = m._1; metas = m._2
               maxPos = math.max(maxPos, b.max_pos_count)
+              nPrio += b.n_prio // doc sets are disjoint: prio counts add
             }
             if (affected) {
               val keep = docs.indices.filterNot(i => delSet.contains(docs(i)))
               docs = keep.map(i => docs(i)).toArray; metas = keep.map(i => metas(i)).toArray
-              // recompute the block-max WAND bound over survivors — the
-              // build derives it from the same metas, so the merged block
-              // stays byte/stat-identical to a rebuild
+              // recompute the block-max WAND bound and the prio count over
+              // survivors — the build derives both from the same metas, so
+              // the merged block stays byte/stat-identical to a rebuild.
+              // A prio-tier block zeroes its metas, but there every posting
+              // is priority by construction: survivors count directly.
               maxPos = 0
+              nPrio = if (prioTier) docs.length else 0
               metas.foreach { m =>
                 val pc = graft.core.WordMeta.positionCount(m)
                 if (pc > maxPos) maxPos = pc
+                if (!prioTier && (m & graft.core.WordFlags.PriorityMask) != 0L) nPrio += 1
               }
             }
             if (docs.isEmpty) None
             else {
               val (blob, skip) = PostingCodec.encode(docs, metas)
               Some(PostingBlock(a.bucket, a.term_hash, a.doc_range, docs.length,
-                maxPos, blob, skip.docIds, skip.offsets))
+                nPrio, maxPos, blob, skip.docIds, skip.offsets))
             }
           }
         }

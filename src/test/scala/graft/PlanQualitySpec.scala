@@ -166,7 +166,8 @@ class PlanQualitySpec extends AnyFunSuite {
     IndexBuilder.buildFromJournal(spark, j.where(col("url_id") % 2 === 1), root, "b", conf)
     val bcNone = spark.sparkContext.broadcast((Set.empty[Long], Set.empty[Long]))
     val merged = SnapshotMerge.mergedPostings(spark,
-      Seq(s"$root/snapshots/a/postings", s"$root/snapshots/b/postings"), bcNone)
+      Seq(s"$root/snapshots/a/postings", s"$root/snapshots/b/postings"), bcNone,
+      prioTier = false)
     val plan = planOf(merged.toDF())
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle in the merge, saw $exchanges:\n$plan")
