@@ -169,8 +169,15 @@ object Bench {
   private def timedBuild(spark: SparkSession, corpusPath: String, nDocs: Long,
                          root: String): Double = {
     val t0 = System.nanoTime()
+    // (bucket, docRange) salting: the bench corpus's small vocabulary hashes
+    // into only ~18 of 32 buckets and Zipf head terms skew those — measured
+    // unsalted at local[8]: postings max-task 17 s vs 7 s mean, a last-wave
+    // straggler that caps stage scaling at ~0.74. Salting spreads the same
+    // rows over all 32 reducers. The file-count cost the IndexConf doc
+    // warns about does not bind here: the bench writes to tmpfs.
     val m = IndexBuilder.buildFromCorpus(spark, spark.read.parquet(corpusPath), root, "snap-1",
-      IndexConf(numBuckets = 32, docRangeShift = 12))
+      IndexConf(numBuckets = 32, docRangeShift = 12,
+        saltByRange = !sys.env.contains("SPARK_GRAFT_BENCH_NO_SALT")))
     val wall = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("SPARK_GRAFT_BUILD_DETAIL")) {
       // per-stage busy time (sum) and straggler (max) from the lineage rows —

@@ -176,6 +176,15 @@ object SparkEntry {
       DedupOps.jaccardVerify(d, DedupOps.lshCandidatePairs(d), 0.5)
     }),
     "d7_span_dedup" -> ((s, dir) => DedupOps.duplicateSpans(docs(s, dir), 8)),
+    // d8: decontamination vs an eval set carved from the corpus (doc_id % 50
+    // == 0). n=4 here: the synthetic docs are ~150 tokens over a small
+    // vocabulary, so 4-grams give the overlap density real pipelines see
+    // with 8-13-grams on web text (the operator's default stays 8).
+    "d8_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      DedupOps.decontaminate(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
+    }),
 
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
@@ -216,6 +225,24 @@ object SparkEntry {
       TextOps.sampleStratified(docs(s, dir), Map("en" -> 40), default = 15)),
 
     "t7_pack_chunks" -> ((s, dir) => TextOps.packChunks(docs(s, dir), 2048L)),
+    // t8: PII scrub. The corpus text is digit-free, so the query plants
+    // deterministic PII derived from doc_id (same expression on the oracle
+    // side) — the redaction counts and scrubbed-text hashes are non-trivial
+    // and engine-portable.
+    "t8_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val aug = d.withColumn("text", concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      TextOps.piiScrub(aug)
+    }),
 
     // -- multimodal plumbing (stubbed decode) --------------------------------
     "mm1_decode_stub" -> ((s, dir) =>
@@ -583,6 +610,16 @@ object SparkEntry {
         |SELECT span, count(*) AS n_docs FROM g GROUP BY span HAVING count(*) >= 2
         |ORDER BY n_docs DESC, span""".stripMargin,
 
+    // d8: per-doc DISTINCT 4-gram spans on both sides; hits = distinct spans
+    // shared with the doc_id%50==0 benchmark slice.
+    "d8_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks, i FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 3),
+        |g AS (SELECT DISTINCT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] AS span FROM p),
+        |bench AS (SELECT DISTINCT span FROM g WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_hits FROM g JOIN bench USING (span)
+        |WHERE doc_id % 50 <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d3_simhash" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -726,6 +763,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t7_pack_chunks" -> TextOps.packChunksOracleSql(2048L),
+
+    // t8: the same staged replace chain as TextOps.piiScrub — counts taken
+    // BEFORE each replace, on the text the previous stage produced. DuckDB
+    // regexp_replace needs the explicit 'g' flag; RE2 and java.util.regex
+    // agree on these patterns (no lookaround, ASCII \b).
+    "t8_pii_scrub" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS BIGINT) AS n_emails,
+         |  regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g') AS t1 FROM aug),
+         |s2 AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t1, '${TextOps.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |  regexp_replace(t1, '${TextOps.Ipv4Re}', '<IP>', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT doc_id, n_emails, n_ips, CAST(len(regexp_extract_all(t2, '${TextOps.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(t2, '${TextOps.PhoneRe}', '<PHONE>', 'g') AS t3 FROM s2)
+         |SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS clean_md5
+         |FROM s3 ORDER BY doc_id""".stripMargin,
 
     "mm1_decode_stub" ->
       """SELECT doc_id, length(text)::BIGINT AS byte_len,

@@ -281,4 +281,27 @@ object DedupOps {
       .groupBy("span").agg(count(lit(1)).as("n_docs"))
       .where(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("span"))
+
+  /** D8: benchmark decontamination — flag training documents that share any
+    * n-token span with an evaluation set (the n-gram-overlap test-set filter
+    * of GPT-3 §2.2 / PaLM app. via 8-grams; Brown et al. 2020 use 13-grams).
+    * Returns (doc_id, n_hits): corpus docs with ≥1 contaminated span and how
+    * many DISTINCT spans they share with the benchmark.
+    *
+    * Scale shape: spans are built row-locally on both sides (zero shuffle
+    * before the join); the benchmark side — eval sets are MBs, not TBs — is
+    * aggregated to DISTINCT spans and BROADCAST, so the corpus side never
+    * shuffles at all: the semi-probe and the per-doc count are map-side. At
+    * 100 TB hash the spans (TextOps.h60) instead of carrying text. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def spansOf(df: DataFrame) =
+      df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.gramArray(col("toks"), n))).as("span"))
+    val benchSpans = spansOf(benchmark).select("span").distinct()
+    spansOf(docs)
+      .join(broadcast(benchSpans), Seq("span"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
 }

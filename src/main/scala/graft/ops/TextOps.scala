@@ -344,4 +344,33 @@ object TextOps {
        |        unnest(generate_series(start // $budget, (start + n - 1) // $budget)) AS chunk
        |      FROM t) u
        |ORDER BY lang, doc_id, chunk""".stripMargin
+
+  /** PII patterns for [[piiScrub]] — RE2-compatible (no lookaround, no
+    * backreferences) so Spark's java.util.regex and DuckDB's RE2 agree on
+    * every match. Email before IP before phone: an email can contain
+    * digits-and-dots that the later patterns would otherwise bite into. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** T8: PII scrubbing — the redaction pass every public-web training
+    * pipeline runs before tokenization (emails, IPv4 addresses, phone-shaped
+    * numbers → typed placeholders). Pure narrow map: three codegen'd
+    * `regexp_replace`/`regexp_count` passes per row, no shuffle, no UDF —
+    * at 100 TB it rides the scan. Emits per-kind redaction counts plus the
+    * md5 of the scrubbed text so an oracle can verify the rewrite without
+    * hauling full documents through the comparison. */
+  def piiScrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, PhoneRe, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        regexp_count(t0, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(t1, lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_count(t2, lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(t3).as("clean_md5"))
+      .orderBy("doc_id")
+  }
 }

@@ -264,6 +264,53 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"))
   }
 
+  test("decontaminate flags corpus docs sharing spans with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e"),   // shares a_b_c and b_c_d with bench doc 100
+      (1L, "x y z w v"),   // clean
+      (2L, "q a b c q")    // shares a_b_c only
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d q")).toDF("doc_id", "text")
+    val got = DedupOps.decontaminate(corpus, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === Seq(0L -> 2L, 2L -> 1L), s"got $got")
+    // the benchmark side broadcasts; the corpus side sees a semi-join and
+    // never shuffles raw spans
+    val plan = planOf(DedupOps.decontaminate(corpus, bench, n = 3))
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
+  test("piiScrub redacts emails, IPs, phones in order and counts each kind") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "mail bob.smith+x@corp.example.org then 10.1.2.3 and call 555-010-1234"),
+      (1L, "no pii here"),
+      (2L, "two mails a@b.io c@d.co one ip 192.168.0.1"),
+      // the email eats its own digits-and-dots — the IP pass must not see
+      // them, and a 5-octet run is not an IPv4
+      (3L, "u123@h4.example.com 1.2.3.4.5")
+    ).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got(0L)._1 === 1L); assert(got(0L)._2 === 1L); assert(got(0L)._3 === 1L)
+    assert(got(0L)._4 === md5hex("mail <EMAIL> then <IP> and call <PHONE>"))
+    assert(got(1L) === ((0L, 0L, 0L, md5hex("no pii here"))))
+    assert(got(2L) === ((2L, 1L, 0L, md5hex("two mails <EMAIL> <EMAIL> one ip <IP>"))))
+    // \b is a word boundary, not a token boundary: the first four octets of
+    // the 5-octet run match (boundary sits between '4' and '.'), leaving
+    // the trailing '.5' — the documented ASCII-RE2 semantics both engines
+    // share, asserted here so a regex change can't silently drift
+    assert(got(3L) === ((1L, 1L, 0L, md5hex("<EMAIL> <IP>.5"))))
+    // narrow plan: no aggregation, no window — the scrub rides the scan
+    val plan = planOf(TextOps.piiScrub(docs))
+    assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("sampleStratified is a deterministic pushable filter with per-lang rates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val kept = TextOps.sampleStratified(docs, Map("en" -> 40), default = 15)
