@@ -107,7 +107,11 @@ final case class QuerySpec(
     localEvalMaxPostings: Long = 262_144L,
     fetchBudget: Long = 0L,
     dirRowBudget: Long = 1L << 20,
-    strategy: Int = QueryStrategy.Auto)
+    strategy: Int = QueryStrategy.Auto,
+    /** df gate for morphological last-word variants — the reference admits a
+      * variant when its term frequency exceeds 100
+      * (EnglishDictionary.getWordVariants, EnglishDictionary.java:44-56). */
+    morphDfGate: Long = 100L)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -355,6 +359,10 @@ object QueryEngine {
     //      the reference (spans come pre-joined there).
     //   2. on n-gram indexes, for each adjacent pair of plain include terms,
     //      one variant replacing the pair with its `a_b` span term.
+    //   3. df-gated variants, added after the planner's stats lookup below:
+    //      dash-combine, num-split, and morphological last-word variants
+    //      (Q3Variants — QueryVariants.java:194-268, EnglishDictionary
+    //      .java:44-165 transcriptions with corpus-df gates).
     // Dead variants (term never indexed) are dropped by the planner's
     // liveness check; the identity variant is always retained.
     val spec: QuerySpec = {
@@ -379,8 +387,14 @@ object QueryEngine {
       spec0.copy(subqueries = subqueries)
     }
 
-    val allTerms: Seq[String] = spec.subqueries.flatMap(sq =>
-      sq.include ++ sq.exclude ++ sq.priority ++ sq.advice).distinct
+    // Q3 gated-variant candidate terms (dash-combine / num-split / morph
+    // last word — Q3Variants) are hashed alongside the query's own terms so
+    // the planner's ONE stats lookup below answers every df gate; the
+    // postings scan is built AFTER gating from live subqueries only, so
+    // rejected candidates never widen the scan.
+    val q3Candidates: Seq[String] = Q3Variants.candidateTerms(spec.subqueries)
+    val allTerms: Seq[String] = (spec.subqueries.flatMap(sq =>
+      sq.include ++ sq.exclude ++ sq.priority ++ sq.advice) ++ q3Candidates).distinct
     if (allTerms.isEmpty || spec.subqueries.forall(_.include.isEmpty)) return Nil
     // query terms must hash to the index's stored form: when the snapshot was
     // built with Porter stemming (C2), stem everything except synthetic
@@ -391,8 +405,10 @@ object QueryEngine {
         else t
       t -> Hashes.termHash(stored)
     }.toMap
-    val hashes = termHash.values.toSeq.distinct
-    val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
+    // hash set for the STATS lookup — includes gate candidates; the postings
+    // scan's hash set is derived after gating, from live subqueries only
+    val statsHashes = termHash.values.toSeq.distinct
+    val statsBuckets = statsHashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
 
     // ---- planner metadata ---------------------------------------------------
     // With the handle's pinned stats (small snapshots): df lookups are
@@ -404,6 +420,58 @@ object QueryEngine {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = liveStats match {
+      case Some(gs) =>
+        val m = gs.statsFor(statsHashes)
+        (statsHashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
+         statsHashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
+      case None => index.statsCache match {
+        case Some(m) =>
+          (statsHashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
+           statsHashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
+        case None =>
+          val rows = index.termStats
+            .where($"bucket".isin(statsBuckets: _*) && $"term_hash".isin(statsHashes: _*))
+            .select($"term_hash", $"df_full", $"df_prio")
+            .collect()
+          (rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap,
+           rows.iterator.map(r => r.getLong(0) -> r.getLong(2)).toMap)
+      }
+    }
+    val docCount = liveStats.map(_.docCount).getOrElse(index.manifest.docCount)
+
+    // ---- Q3 gated variants (dash-combine / num-split / morph last word) ----
+    // Candidate generation is Q3Variants (deterministic transcriptions of
+    // QueryVariants.java:194-268 + EnglishDictionary.java:44-165); every gate
+    // is a driver-local df lookup against the stats just fetched. Stemming
+    // can collapse a morph variant onto its base ("run" vs "runs"), so
+    // variants are deduped on stored-hash signatures before joining the set.
+    val withGated: Seq[Subquery] = {
+      def dfOf(t: String): Long =
+        termHash.get(t).map(h => dfFull.getOrElse(h, 0L)).getOrElse(0L)
+      val gated = Q3Variants.expand(spec.subqueries, dfOf, spec.morphDfGate)
+      def sig(sq: Subquery) =
+        (sq.include.map(termHash).sorted, sq.exclude.map(termHash).sorted,
+         sq.priority.map(termHash).sorted, sq.advice.map(termHash).sorted,
+         sq.coherences.map(_.map(termHash)))
+      val seen = scala.collection.mutable.Set(spec.subqueries.map(sig): _*)
+      spec.subqueries ++ gated.filter(v => seen.add(sig(v)))
+    }
+
+    // a subquery whose include term is absent can never match (reference
+    // SearchTermsService: missing include ⇒ subquery dead)
+    val liveSubqueries = withGated.filter(sq =>
+      sq.include.nonEmpty &&
+        (sq.include ++ sq.advice).forall(t => dfFull.getOrElse(termHash(t), 0L) > 0L))
+    if (liveSubqueries.isEmpty) return Nil
+
+    // postings-scan hash set: live subqueries' terms only — rejected gate
+    // candidates never reach the scan
+    val hashes: Seq[Long] = liveSubqueries.flatMap(sq =>
+      sq.include ++ sq.exclude ++ sq.priority ++ sq.advice ++ sq.coherences.flatten)
+      .distinct.map(termHash).distinct
+    val buckets = hashes.map(h => IndexBuilderRef.bucketOf(h, index.manifest.numBuckets)).distinct
+
     // Domain restriction with known ranks (near:/site:/search-set
     // resolution) prunes the posting SCAN: doc_range = (rank << 32 | urlId)
     // >>> shift, so each allowed rank owns the doc_range interval
@@ -423,25 +491,6 @@ object QueryEngine {
         val lo = r.toLong << rankPrefix
         $"doc_range" >= lo && $"doc_range" < lo + (1L << rankPrefix)
       }.reduce(_ || _))
-    val (dfFull: Map[Long, Long], dfPrio: Map[Long, Long]) = liveStats match {
-      case Some(gs) =>
-        val m = gs.statsFor(hashes)
-        (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
-         hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
-      case None => index.statsCache match {
-        case Some(m) =>
-          (hashes.flatMap(h => m.get(h).filter(_._1 > 0L).map(h -> _._1)).toMap,
-           hashes.flatMap(h => m.get(h).map(h -> _._2)).toMap)
-        case None =>
-          val rows = index.termStats
-            .where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-            .select($"term_hash", $"df_full", $"df_prio")
-            .collect()
-          (rows.iterator.map(r => r.getLong(0) -> r.getLong(1)).toMap,
-           rows.iterator.map(r => r.getLong(0) -> r.getLong(2)).toMap)
-      }
-    }
-    val docCount = liveStats.map(_.docCount).getOrElse(index.manifest.docCount)
 
     // ---- head-term directory guard (VERDICT r2 task #3) ---------------------
     // The planner's block directory is one row per (query term, doc range);
@@ -473,13 +522,6 @@ object QueryEngine {
       QueryEngine.lastDirStats = (dirShift, dir.length)
       dir
     }
-
-    // a subquery whose include term is absent can never match (reference
-    // SearchTermsService: missing include ⇒ subquery dead)
-    val liveSubqueries = spec.subqueries.filter(sq =>
-      sq.include.nonEmpty &&
-        (sq.include ++ sq.advice).forall(t => dfFull.getOrElse(termHash(t), 0L) > 0L))
-    if (liveSubqueries.isEmpty) return Nil
 
     // doc ranges of the rarest include term per subquery bound the candidate
     // universe (the reference orders terms by selectivity the same way,

@@ -34,9 +34,12 @@ import graft.analysis.Tokenizer
   *
   * The reference further expands POS-driven variants/permutations
   * (QueryVariants.java:72-120, ≤24 permutations ≤5 variants). Without a POS
-  * model the deterministic subset lives engine-side: on n-gram indexes each
-  * adjacent include pair spawns a joined-span variant subquery (identity
-  * variant always first — QueryEngine Q3 expansion).
+  * model the deterministic subset lives engine-side (QueryEngine Q3
+  * expansion, identity variant always first): on n-gram indexes each
+  * adjacent include pair spawns a joined-span variant subquery, and every
+  * query gains the df-gated dash-combine / num-split / morphological
+  * last-word variants (Q3Variants). The only reference variant family not
+  * reproduced is POS-driven span segmentation (needs the POS model, K2).
   */
 object QueryParser {
 

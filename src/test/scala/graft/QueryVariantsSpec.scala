@@ -76,4 +76,100 @@ class QueryVariantsSpec extends AnyFunSuite {
       limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue)
     assert(QueryEngine.search(spark, index, spec).map(_.url_id).toSet === Set(1))
   }
+
+  // ---- gated variants: dash-combine / num-split / morph last word ---------
+  // (QueryVariants.java:194-268, EnglishDictionary.java:44-165 — corpus-df
+  // gates replace the Bloom filter / wordlist / imported-tf-dict backends)
+
+  private def journal2 = {
+    import spark.implicits._
+    def row(id: Int, words: Seq[String]): JournalRow = JournalRow(
+      doc_id = DocId.combine(1, id), url_id = id, domain_id = 1,
+      rank = DocMeta.UnknownRank, doc_meta = 0L, length = words.length,
+      repo = "r", path = s"d$id", commit = "", lang = "",
+      content_sha256 = "",
+      keywords = words.map(w =>
+        KeywordRow(w, WordMeta.encode(2L, WordFlags.Title), 1)).toArray)
+    Seq(
+      row(1, Seq("foobar", "baz")),
+      row(2, Seq("word_123", "qux")),
+      row(3, Seq("tokens")),
+      row(4, Seq("token"))).toDF()
+  }
+
+  private lazy val index2: QueryEngine.Index = {
+    val root = Files.createTempDirectory(java.nio.file.Paths.get("target"), "qvar2").toString
+    IndexBuilder.buildFromJournal(spark, journal2, root, "snap-1",
+      IndexConf(numBuckets = 4, docRangeShift = 4))
+    QueryEngine.open(root, spark)
+  }
+
+  private def run2(gate: Long, terms: String*): Set[Int] =
+    QueryEngine.search(spark, index2, QuerySpec(
+      subqueries = Seq(Subquery(include = terms)),
+      limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue,
+      morphDfGate = gate))
+      .map(_.url_id).toSet
+
+  test("dash-combine variant: 'foo-bar baz' retrieves the doc containing 'foobar'") {
+    // identity subquery is dead (no doc holds the literal 'foo-bar'); only
+    // the dash-combined variant (gated on df('foobar') > 0) can match
+    assert(run2(100L, "foo-bar", "baz") === Set(1))
+    // unknown combination ⇒ variant dies too
+    assert(run2(100L, "foo-qux", "baz") === Set.empty)
+  }
+
+  test("num-split variant: 'word123 qux' retrieves the doc containing 'word_123'") {
+    assert(run2(100L, "word123", "qux") === Set(2))
+    assert(run2(100L, "nope123", "qux") === Set.empty)
+  }
+
+  test("morph last-word variant obeys the df gate") {
+    // gate 0: variant 'tokens' (df 1 > 0) joins the identity 'token'
+    assert(run2(0L, "token") === Set(3, 4))
+    // reference default gate 100: df 1 fails the tf>100 analog ⇒ identity only
+    assert(run2(100L, "token") === Set(4))
+  }
+
+  // ---- pure transcription checks ------------------------------------------
+
+  test("numWordBoundary analog finds letter↔digit boundaries") {
+    assert(Q3Variants.numBoundaries("word123") === Seq(3))
+    assert(Q3Variants.numSplitCandidates("a1b") === Seq("a_1b", "a1_b"))
+    assert(Q3Variants.numSplitCandidates("abc") === Nil)
+    assert(Q3Variants.numSplitCandidates("lang:scala3") === Nil) // synthetics exempt
+  }
+
+  test("dash combination strips interior dashes") {
+    assert(Q3Variants.dashCombined("foo-bar") === Some("foobar"))
+    assert(Q3Variants.dashCombined("plain") === None)
+  }
+
+  test("ingForm doubles the right finals (EnglishDictionary.ingForm:150-164)") {
+    assert(Q3Variants.ingForm("cut") === "cutting")
+    assert(Q3Variants.ingForm("run") === "running")
+    assert(Q3Variants.ingForm("swim") === "swimming")
+    assert(Q3Variants.ingForm("stir") === "stirring")
+    assert(Q3Variants.ingForm("play") === "playing")
+  }
+
+  test("findWordVariants suffix families (EnglishDictionary.findWordVariants:62-148)") {
+    val dict = Set("cat", "word", "words", "sarcast", "hummed", "hum", "runs", "running")
+    def isWord(w: String) = dict(w)
+    assert(Q3Variants.findWordVariants("cats", isWord) === Seq("cat"))
+    assert(Q3Variants.findWordVariants("sarcasm", isWord) === Seq("sarcast"))
+    assert(Q3Variants.findWordVariants("humming", isWord) === Seq("hum", "hummed").filter(isWord))
+    assert(Q3Variants.findWordVariants("run", isWord) === Seq("runs", "running"))
+    assert(Q3Variants.findWordVariants("x", isWord) === Nil) // len < 2
+  }
+
+  test("variant value prefers rarer parts (evaluateQueries:156-175 ascending)") {
+    val df = Map("rare" -> 1L, "common" -> 100000L).withDefaultValue(0L)
+    val rare = Q3Variants.variantValue(Seq("rare"), df)
+    val common = Q3Variants.variantValue(Seq("common"), df)
+    assert(rare < common)
+    // underscore words score by their parts
+    val split = Q3Variants.variantValue(Seq("rare_common"), df)
+    assert(split < common)
+  }
 }
