@@ -241,6 +241,16 @@ object SparkEntry {
       TextOps.sampleStratified(docs(s, dir), Map("en" -> 40), default = 15)),
 
     "t7_pack_chunks" -> ((s, dir) => TextOps.packChunks(docs(s, dir), 2048L)),
+
+    // t9: weighted-lexicon topic scorer (reference topic-detection testP
+    // shape): a "streaming" topic over the fixture vocabulary — positive
+    // topical terms, negative off-topic terms, mirroring the detectors'
+    // weight structure. Unstemmed (fixture vocabulary is base-form).
+    "t9_topic" -> ((s, dir) => TextOps.topicScore(docs(s, dir), TopicLexicon)),
+
+    // t10: important-words summary extraction over 32-token passages.
+    "t10_summary" -> ((s, dir) =>
+      TextOps.summarize(docs(s, dir), SummaryWords)),
     // t8: PII scrub. The corpus text is digit-free, so the query plants
     // deterministic PII derived from doc_id (same expression on the oracle
     // side) — the redaction counts and scrubbed-text hashes are non-trivial
@@ -458,6 +468,22 @@ object SparkEntry {
     """d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |p AS (SELECT doc_id, i, toks[i] AS term FROM d CROSS JOIN generate_series(1, 8192) AS t(i)
       |      WHERE i <= len(toks))""".stripMargin
+
+  /** t9 lexicon — the reference detectors' weight structure (small positive
+    * topical terms, larger negative off-topic terms) over the fixture
+    * vocabulary. Keys are pre-stemmed/base-form by construction. */
+  private val TopicLexicon: Map[String, Double] = Map(
+    "stream" -> 0.05, "window" -> 0.05, "watermark" -> 0.15,
+    "join" -> 0.01, "group" -> 0.01, "sort" -> 0.01,
+    "batch" -> -0.1, "table" -> -0.025, "customer" -> -0.1)
+  private def topicLexiconValues: String =
+    TopicLexicon.toSeq.sortBy(_._1)
+      .map { case (t, v) => s"('$t', ${v}::DOUBLE)" }.mkString(", ")
+
+  /** t10 important words. */
+  private val SummaryWords = Seq("customer", "spark", "stream")
+  private def summaryWordsIn: String =
+    SummaryWords.map(w => s"'$w'").sorted.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -809,6 +835,37 @@ object SparkEntry {
          |  regexp_replace(t2, '${TextOps.PhoneRe}', '<PHONE>', 'g') AS t3 FROM s2)
          |SELECT doc_id, n_emails, n_ips, n_phones, md5(t3) AS clean_md5
          |FROM s3 ORDER BY doc_id""".stripMargin,
+
+    // t9: weighted-lexicon topic score — closed form of the reference's
+    // occurrence fold merge(old,v)=0.5·old+v is v·(2 − 2^(1−tf)); length
+    // penalty sqrt(1000)/sqrt(max(1000, n_tok)).
+    "t9_topic" ->
+      s"""WITH lex(term, v) AS (VALUES $topicLexiconValues),
+         |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |n AS (SELECT doc_id, count(*) AS n_tok FROM t WHERE term <> '' GROUP BY doc_id),
+         |tf AS (SELECT t.doc_id, t.term, lex.v, count(*) AS tf FROM t JOIN lex ON t.term = lex.term
+         |  GROUP BY t.doc_id, t.term, lex.v),
+         |m AS (SELECT doc_id, sum(v * (2 - power(2, 1 - tf))) AS raw FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  round(coalesce(m.raw, 0) * sqrt(1000) / sqrt(greatest(1000, coalesce(n.n_tok, 0))) + 0.000000001, 6) AS topic_score
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN n USING (doc_id) LEFT JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // t10: best 32-token passage by count of DISTINCT important words
+    // present (ties → earliest; zero-hit docs fall back to window 0),
+    // cleaned with [^a-zA-Z0-9]{3,} → ' ' and truncated to 255 chars.
+    "t10_summary" ->
+      s"""WITH $TokPosCte,
+         |w AS (SELECT doc_id, (i - 1) // 32 AS win,
+         |  count(DISTINCT CASE WHEN lower(term) IN ($summaryWordsIn) THEN lower(term) END) AS hits
+         |  FROM p GROUP BY doc_id, (i - 1) // 32),
+         |b AS (SELECT doc_id, win, hits,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, win ASC) AS rn FROM w)
+         |SELECT d.doc_id, b.win, b.hits,
+         |  substring(regexp_replace(
+         |    array_to_string(d.toks[b.win * 32 + 1 : b.win * 32 + 32], ' '),
+         |    '[^a-zA-Z0-9]{3,}', ' ', 'g'), 1, 255) AS summary
+         |FROM d JOIN b USING (doc_id) WHERE b.rn = 1 ORDER BY d.doc_id""".stripMargin,
 
     "mm1_decode_stub" ->
       """SELECT doc_id, length(text)::BIGINT AS byte_len,

@@ -373,4 +373,96 @@ object TextOps {
         md5(t3).as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  /** T9: weighted-lexicon topic scorer — transcription of the reference's
+    * topic detectors (features-convert/topic-detection/.../
+    * TextileCraftDetector.java:125-148; RecipeDetector and
+    * WoodworkingDetector share the identical testP shape): each matched
+    * lexicon term accumulates its weight with geometric saturation over
+    * repeats — the reference folds occurrences with `merge(old, v) =
+    * 0.5·old + v`, whose closed form after tf occurrences is
+    * `v·(2 − 2^(1−tf))` — and the per-doc sum is damped by
+    * `lengthPenalty = sqrt(AVG)/sqrt(max(AVG, n_tok))`, AVG_LENGTH = 1000
+    * (TextileCraftDetector.java:14,144-147). The reference Porter-stems both
+    * sides; pass a pre-stemmed lexicon and `stem = true` to match (the
+    * driver-oracle path runs unstemmed — the fixture vocabulary is already
+    * in base form, and DuckDB has no Porter).
+    * Scale: the lexicon broadcasts (it is tiny by construction), the match
+    * is a narrow semi-join riding the token scan, and the only exchanges
+    * carry (doc, term, tf) partials for matched terms plus per-doc lengths —
+    * never raw token streams. */
+  def topicScore(docs: DataFrame, lexicon: Map[String, Double],
+                 avgLength: Int = 1000, stem: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lex = broadcast(lexicon.toSeq.sortBy(_._1).toDF("term", "v"))
+    val toks0 = tokens(docs)
+    val toks =
+      if (!stem) toks0
+      else {
+        val stemUdf = udf((t: String) => graft.analysis.Porter.stem(t))
+        toks0.withColumn("term", stemUdf(col("term")))
+      }
+    val matched = toks.join(lex, "term")
+      .groupBy("doc_id", "term", "v").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id")
+      .agg(sum(col("v") * (lit(2.0) - pow(lit(2.0), lit(1.0) - col("tf")))).as("raw"))
+    docs.select(col("doc_id"))
+      .join(docLen(docs), Seq("doc_id"), "left")
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        // +1e-9 nudge before round: achievable scores (weight grid × the
+        // dyadic saturation factor) land EXACTLY on 6th-decimal midpoints,
+        // where Spark's BigDecimal HALF_UP and DuckDB's scaled-double round
+        // disagree on the binary representation. The nudge moves every
+        // midpoint 1e-9 off-center — 7 orders above sum-order ulp noise,
+        // 4 below the score grid — so both engines round identically.
+        round(coalesce(col("raw"), lit(0.0)) *
+          sqrt(lit(avgLength.toDouble)) /
+          sqrt(greatest(lit(avgLength.toDouble), coalesce(col("dl"), lit(0L)).cast("double")))
+          + lit(1e-9),
+          6).as("topic_score"))
+      .orderBy("doc_id")
+  }
+
+  /** T10: important-words summary extraction — the plain-text analog of the
+    * reference's SummaryExtractor chain (summary-extraction/.../
+    * SummaryExtractor.java:38-56): the text is scanned in fixed
+    * `window`-token passages, each scored by HOW MANY of the important
+    * words occur in it (HeuristicTextUtil.countOccurrencesOfAnyWord:17-40
+    * counts distinct words present, not total hits, case-insensitive on
+    * word boundaries); the best passage wins (ties → earliest; no hits
+    * anywhere → the opening passage, the FallbackHeuristic role), is
+    * cleaned with the reference's truncatedCharacters regex
+    * `[^a-zA-Z0-9]{3,}` → ' ' (SummaryExtractor.java:17,45) and abbreviated
+    * to `maxLen` chars (max-summary-length = 255, ConverterModule.java:27).
+    * The DOM-shape heuristics (tag density, meta/OpenGraph description)
+    * have no analog on a plain-text corpus.
+    * Scale: one narrow pass emits (doc, win, hits) through a map-side
+    * combined agg; the argmax is a per-doc struct-max reduction (no window
+    * sort); the chosen passage's text is recomputed from the doc row by
+    * array slice — token streams never shuffle. */
+  def summarize(docs: DataFrame, importantWords: Seq[String],
+                window: Int = 32, maxLen: Int = 255): DataFrame = {
+    val words = importantWords.map(_.toLowerCase).distinct
+    val wins = tokensPos(docs)
+      .withColumn("win", ((col("i") - 1) / window).cast("long"))
+      .groupBy("doc_id", "win")
+      .agg(count_distinct(
+        when(lower(col("term")).isin(words: _*), lower(col("term")))).as("hits"))
+    // argmax without a per-doc sort: max of (hits, -win) structs
+    val best = wins
+      .groupBy("doc_id")
+      .agg(max(struct(col("hits"), (-col("win")).as("negwin"))).as("b"))
+      .select(col("doc_id"), (-col("b.negwin")).as("win"), col("b.hits").as("hits"))
+    docs.select(col("doc_id"), col("text")).join(best, "doc_id")
+      .select(col("doc_id"), col("win"), col("hits"),
+        substring(
+          regexp_replace(
+            array_join(slice(split(col("text"), " "),
+              (col("win") * window + 1).cast("int"), lit(window)), " "),
+            "[^a-zA-Z0-9]{3,}", " "),
+          1, maxLen).as("summary"))
+      .orderBy("doc_id")
+  }
 }
