@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Domain-similarity ("website adjacencies") operator — the reference's
+  * standalone adjacencies calculator re-expressed relationally
+  * (tools/website-adjacencies-calculator/.../WebsiteAdjacenciesCalculator.java,
+  * AdjacenciesData.java, SparseBitVector.java).
+  *
+  * Reference semantics, transcribed exactly:
+  *   - vector(d) = {d} ∪ {s : link s→d} (AdjacenciesData.java:59-73 — the
+  *     dest's own id is seeded into its vector, and the source→dests map
+  *     seeds the source's own id symmetrically).
+  *   - Only dests with card(vector) < maxCard are eligible at all
+  *     (isEligible, AdjacenciesData.java:86-91); both the focus domain and
+  *     its candidates must be eligible (getVector returns null otherwise).
+  *   - weight(s) = 1/ln(2 + card(vector(s))) when s is itself an ELIGIBLE
+  *     DEST; otherwise 0.0 — getWeights (AdjacenciesData.java:115-121) fills
+  *     only idsList positions of a zero-initialized float[], so source-only
+  *     ids contribute NOTHING to the weighted cosine. A pair whose shared
+  *     sources are all source-only scores 0 and is dropped, even when the
+  *     unweighted cosine passes. Deliberately preserved.
+  *   - Focus domains need card ≥ minCard (cardinalityExceeds(10) — the
+  *     method is a ≥ test, SparseBitVector.java:139-141); candidates need
+  *     card ≥ max(2, ⌊0.01·card(focus)⌋) (WebsiteAdjacenciesCalculator
+  *     .java:160) — note the asymmetry.
+  *   - Gates: |a∩b|/√(|a||b|) > threshold, then
+  *     Σ_{s∈a∩b} w(s) / √(Σ_{s∈a} w(s) · Σ_{s∈b} w(s)) > threshold
+  *     (cosineSimilarity / expensiveCosineSimilarity, :137-145,170-176).
+  *   - Top `topK` neighbors per focus domain by weighted value
+  *     (:179-182, the 128 cut); ties broken by neighbor id ascending —
+  *     the reference's sort is tie-unstable, ours is pinned deterministic.
+  *
+  * Output: (domain_id, neighbor_id, relatedness) — the EC_DOMAIN_NEIGHBORS
+  * row shape the loader inserts (AdjacenciesLoader.java:35-37), relatedness
+  * rounded to 6 decimals (+1e-9 midpoint nudge, see TextOps.topicScore).
+  *
+  * Scale: the pair stage is the classic shared-neighbor self-join on the
+  * member table — one shuffle on source id, fan-out per source = that
+  * source's out-degree. The maxCard eligibility cap bounds every VECTOR
+  * (so per-pair work and the reference's RAM bound), but hub SOURCES still
+  * expand quadratically; the reference tolerates this because it holds the
+  * whole graph in one heap. At 100 TB set `maxSourceFanout` to drop hub
+  * sources from candidate generation (an explicit approximation — such
+  * sources carry near-zero weight 1/ln(2+card) only when they are also
+  * huge dests, but dropping them can lose candidates whose overlap is
+  * hub-only), or pre-bucket members by source so the join co-partitions.
+  * Everything downstream is per-pair aggregation + a per-focus top-k
+  * (struct-max would not suffice here: topK > 1 ⇒ window over the FILTERED
+  * pair set, partitioned by focus domain — bounded by topK·|domains|).
+  */
+object AdjacencyOps {
+
+  def domainSimilarity(links: DataFrame,
+                       minCard: Int = 10,
+                       maxCard: Int = 10000,
+                       topK: Int = 128,
+                       threshold: Double = 0.1,
+                       maxSourceFanout: Int = 0): DataFrame = {
+    val l = links.select(col("src").cast("long").as("src"),
+                         col("dst").cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+
+    // vector membership: (d, s) with the self-seed row
+    val members = l.select(col("dst").as("d"), col("src").as("s"))
+      .union(l.select(col("dst").as("d"), col("dst").as("s")))
+      .distinct()
+
+    // eligible vectors and their cardinalities
+    val card = members.groupBy("d").agg(count(lit(1)).as("card"))
+      .where(col("card") < maxCard)
+
+    // per-source weight: eligible-dest sources get 1/ln(2+card), others 0
+    val weights = members.select(col("s")).distinct()
+      .join(card.withColumnRenamed("d", "s"), Seq("s"), "left")
+      .select(col("s"),
+        coalesce(lit(1.0) / log(lit(2.0) + col("card")), lit(0.0)).as("w"))
+
+    // eligible members only (focus and candidate both need a live vector),
+    // carrying the member's weight
+    val em = members.join(card.select(col("d")), "d").join(weights, "s")
+
+    val emSrc =
+      if (maxSourceFanout <= 0) em
+      else {
+        val fanout = em.groupBy("s").agg(count(lit(1)).as("fo"))
+          .where(col("fo") <= maxSourceFanout)
+        em.join(fanout.select("s"), "s")
+      }
+
+    // per-vector weight mass Σ w(s) (over the UNCAPPED membership — the
+    // fan-out cap prunes candidate generation only, not the norms)
+    val sumw = em.groupBy("d").agg(sum(col("w")).as("sumw"))
+
+    // shared-source pair expansion + per-pair partials
+    val x = emSrc.select(col("d").as("a"), col("s"), col("w"))
+    val y = emSrc.select(col("d").as("b"), col("s"))
+    val pairs = x.join(y, "s").where(col("a") =!= col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"), sum(col("w")).as("interw"))
+
+    val scored = pairs
+      .join(card.select(col("d").as("a"), col("card").as("card_a")), "a")
+      .join(card.select(col("d").as("b"), col("card").as("card_b")), "b")
+      .join(sumw.select(col("d").as("a"), col("sumw").as("sumw_a")), "a")
+      .join(sumw.select(col("d").as("b"), col("sumw").as("sumw_b")), "b")
+      .where(col("card_a") >= minCard)
+      .where(col("card_b") >=
+        greatest(lit(2L), floor(col("card_a") / lit(100)).cast("long")))
+      .where(col("inter") / sqrt(col("card_a") * col("card_b")) > threshold)
+      .withColumn("v", col("interw") / sqrt(col("sumw_a") * col("sumw_b")))
+      .where(col("v") > threshold)
+
+    // Rank on the ROUNDED value: raw v carries ~1-ulp noise from ln() and
+    // sum order, which flips near-ties exactly at the topK boundary and
+    // makes the cut engine-dependent. The 6-decimal grid + id tie-break is
+    // deterministic everywhere (the reference's own sort is tie-unstable).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"))
+      .orderBy(col("vr").desc, col("b").asc)
+    scored.withColumn("vr", round(col("v") + lit(1e-9), 6))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= topK)
+      .select(col("a").as("domain_id"), col("b").as("neighbor_id"),
+        col("vr").as("relatedness"))
+      .orderBy("domain_id", "neighbor_id")
+  }
+}

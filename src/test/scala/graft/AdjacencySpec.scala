@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.AdjacencyOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Domain-similarity (website adjacencies) vs an independent in-memory
+  * brute-force transcription of the reference calculator. */
+class AdjacencySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-adjacency")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** Brute-force reference semantics: WebsiteAdjacenciesCalculator.java
+    * findAdjacentDtoS + AdjacenciesData weights, straight sets and loops. */
+  private def bruteForce(links: Seq[(Long, Long)], minCard: Int, maxCard: Int,
+                         topK: Int, threshold: Double): Seq[(Long, Long, Double)] = {
+    val vec: Map[Long, Set[Long]] = links.groupBy(_._2)
+      .map { case (d, ls) => d -> (ls.map(_._1).toSet + d) }
+    val eligible = vec.filter(_._2.size < maxCard)
+    def weight(s: Long): Double =
+      eligible.get(s).map(v => 1.0 / math.log(2.0 + v.size)).getOrElse(0.0)
+    def sumw(v: Set[Long]): Double = v.toSeq.map(weight).sum
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    for ((a, va) <- eligible.toSeq.sortBy(_._1) if va.size >= minCard) {
+      val cardMin = math.max(2, va.size / 100)
+      val cands = for {
+        (b, vb) <- eligible.toSeq if b != a
+        if vb.size >= cardMin
+        inter = va.intersect(vb)
+        if inter.size / math.sqrt(va.size.toDouble * vb.size) > threshold
+        v = inter.toSeq.map(weight).sum / math.sqrt(sumw(va) * sumw(vb))
+        if v > threshold
+      } yield (b, v)
+      cands.map { case (b, v) => (b, math.rint((v + 1e-9) * 1e6) / 1e6) }
+        .sortBy { case (b, vr) => (-vr, b) }.take(topK)
+        .foreach { case (b, vr) => out += ((a, b, vr)) }
+    }
+    out.result().sortBy(r => (r._1, r._2))
+  }
+
+  private def run(links: Seq[(Long, Long)], minCard: Int = 10,
+                  maxCard: Int = 10000, topK: Int = 128,
+                  threshold: Double = 0.1): Seq[(Long, Long, Double)] =
+    AdjacencyOps.domainSimilarity(links.toDF("src", "dst"), minCard, maxCard,
+        topK, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  /** Deterministic pseudo-random link list (no Random: seeds via arithmetic). */
+  private def synthLinks(nLinks: Int, nSrc: Int, nDst: Int): Seq[(Long, Long)] =
+    (0 until nLinks).map { i =>
+      val h = (i * 2654435761L + 104729) & 0x7fffffffL
+      ((h % nSrc).toLong, (h / 131 % nDst).toLong)
+    }.distinct
+
+  test("matches brute force on a dense synthetic graph (all gates live)") {
+    val links = synthLinks(3000, 40, 60)
+    assert(run(links, minCard = 5) === bruteForce(links, 5, 10000, 128, 0.1))
+  }
+
+  test("matches brute force on a sparse graph (threshold gate bites)") {
+    val links = synthLinks(300, 80, 120)
+    assert(run(links, minCard = 2) === bruteForce(links, 2, 10000, 128, 0.1))
+  }
+
+  test("matches brute force with a small maxCard (eligibility gate bites)") {
+    val links = synthLinks(2000, 25, 30)
+    val got = run(links, minCard = 3, maxCard = 60)
+    assert(got === bruteForce(links, 3, 60, 128, 0.1))
+    assert(got.nonEmpty)
+  }
+
+  test("source-only shared members carry zero weight: pair dropped despite unweighted overlap") {
+    // 10 and 11 share sources 1,2,3 — but 1,2,3 are never dests, so the
+    // weighted cosine is 0/√(…) and the pair must NOT appear, even though
+    // the unweighted cosine is 3/4. (getWeights zero-fill semantics.)
+    val links = Seq[(Long, Long)]((1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (3, 11))
+    assert(run(links, minCard = 2) === Seq.empty)
+    // making 1,2,3 dests themselves turns the weights on and the pair appears
+    val links2 = links ++ Seq[(Long, Long)]((5, 1), (5, 2), (5, 3))
+    val got = run(links2, minCard = 2)
+    assert(got.exists(r => r._1 == 10 && r._2 == 11))
+    assert(got === bruteForce(links2, 2, 10000, 128, 0.1))
+  }
+
+  test("topK cap keeps the highest values with neighbor-id tie-break") {
+    // hub sources 1,2 point at many dests; every pair is symmetric, so
+    // values tie and the id tie-break decides which K survive. 1 and 2 are
+    // made dests themselves so their weights are non-zero.
+    val links = (10L to 29L).flatMap(d => Seq((1L, d), (2L, d))) ++
+      Seq[(Long, Long)]((3L, 1L), (3L, 2L))
+    val got = run(links, minCard = 2, topK = 5)
+    val byA = got.groupBy(_._1)
+    assert(byA.values.forall(_.size == 5))
+    // for focus 10, ties resolve to the 5 smallest neighbor ids
+    assert(byA(10L).map(_._2) === Seq(11L, 12L, 13L, 14L, 15L))
+    assert(got === bruteForce(links, 2, 10000, 5, 0.1))
+  }
+
+  test("asymmetric candidate cardinality floor max(2, card/100)") {
+    // focus a: card 300 (299 sources + self); candidate b: card 2 < 3 → out
+    // as a's neighbor, while a can still be b's neighbor (card 300 ≥ 2).
+    val big = (1L to 299L).map(s => (s, 1000L))
+    val small = Seq[(Long, Long)]((1L, 2000L))                // vec {1, 2000}, card 2
+    val links = big ++ small
+    val got = run(links, minCard = 2)
+    assert(!got.exists(r => r._1 == 1000L && r._2 == 2000L))
+    assert(got === bruteForce(links, 2, 10000, 128, 0.1))
+  }
+}
