@@ -262,6 +262,15 @@ object SparkEntry {
     // t10: important-words summary extraction over 32-token passages.
     "t10_summary" -> ((s, dir) =>
       TextOps.summarize(docs(s, dir), SummaryWords)),
+
+    // t11: pubdate sniffing. The corpus text is digit-free (see t8), so the
+    // query plants a deterministic date-ish string per doc (same expression
+    // on the oracle side) covering each branch of the reference chain: ISO
+    // date, ISO datetime, multi-year guess, single year, no digits, and
+    // out-of-range years.
+    "t11_pubdate" -> ((s, dir) =>
+      TextOps.pubDateYear(
+        docs(s, dir).withColumn("ds", expr(PlantedDateExpr)), "ds")),
     // t8: PII scrub. The corpus text is digit-free, so the query plants
     // deterministic PII derived from doc_id (same expression on the oracle
     // side) — the redaction counts and scrubbed-text hashes are non-trivial
@@ -490,6 +499,20 @@ object SparkEntry {
   private def topicLexiconValues: String =
     TopicLexicon.toSeq.sortBy(_._1)
       .map { case (t, v) => s"('$t', ${v}::DOUBLE)" }.mkString(", ")
+
+  /** t11 planted date string — identical SQL text on both engines. Mode 2's
+    * second year goes invalid past 2027, collapsing to the single-year
+    * branch; modes 0/1 go out-of-range for doc_id % 40 ∉ [5, 37], exercising
+    * the post-parse validation. */
+  private val PlantedDateExpr: String =
+    """CASE doc_id % 6
+      | WHEN 0 THEN printf('%04d-%02d-%02d', 1990 + doc_id % 40, 1 + doc_id % 12, 1 + doc_id % 28)
+      | WHEN 1 THEN printf('%04d-%02d-%02dT08:30:15', 1990 + doc_id % 40, 1 + doc_id % 12, 1 + doc_id % 28)
+      | WHEN 2 THEN printf('(c) %04d-%04d rights', 1990 + doc_id % 40, 1997 + doc_id % 40)
+      | WHEN 3 THEN printf('est %04d x', 1990 + doc_id % 40)
+      | WHEN 4 THEN 'undated'
+      | ELSE printf('year %04d and 1875', 1850 + doc_id % 30)
+      |END""".stripMargin
 
   /** t10 important words. */
   private val SummaryWords = Seq("customer", "spark", "stream")
@@ -904,6 +927,27 @@ object SparkEntry {
          |    array_to_string(d.toks[b.win * 32 + 1 : b.win * 32 + 32], ' '),
          |    '[^a-zA-Z0-9]{3,}', ' ', 'g'), 1, 255) AS summary
          |FROM d JOIN b USING (doc_id) WHERE b.rn = 1 ORDER BY d.doc_id""".stripMargin,
+
+    // t11: PubDateParser chain — length gate, ISO date/datetime, then the
+    // highest-year-substring heuristic with the (min+max)/2 multi-year
+    // guess, validated to [1995, 2027].
+    "t11_pubdate" ->
+      s"""WITH src AS (SELECT doc_id, $PlantedDateExpr AS ds FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(ds) >= 4 AND len(ds) < 32 THEN ds END AS s FROM src),
+         |y AS (SELECT doc_id,
+         |  try_strptime(s, '%Y-%m-%d') AS iso,
+         |  try_strptime(s, '%Y-%m-%dT%H:%M:%S') AS isodt,
+         |  list_filter(list_transform(regexp_extract_all(s, '\\d{4}'), x -> CAST(x AS INT)),
+         |              v -> v >= 1995 AND v <= 2027) AS yrs
+         |  FROM g),
+         |r AS (SELECT doc_id,
+         |  CASE WHEN iso IS NOT NULL THEN year(iso)
+         |       WHEN isodt IS NOT NULL THEN year(isodt)
+         |       WHEN len(yrs) > 0 AND list_min(yrs) <> list_max(yrs)
+         |            THEN (list_min(yrs) + list_max(yrs)) // 2
+         |       WHEN len(yrs) > 0 THEN list_max(yrs) END AS yr FROM y)
+         |SELECT doc_id, CAST(CASE WHEN yr >= 1995 AND yr <= 2027 THEN yr END AS INT) AS pub_year
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "mm1_decode_stub" ->
       """SELECT doc_id, length(text)::BIGINT AS byte_len,

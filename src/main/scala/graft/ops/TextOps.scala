@@ -425,6 +425,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T11: publication-date sniffing — transcription of the reference's
+    * PubDateParser.attemptParseDate chain (features-convert/pubdate/.../
+    * PubDateParser.java:19-27,53-82,125-134):
+    *   1. length gate: 4 ≤ len < 32 (:20);
+    *   2. ISO-8601: date, then date-time, then zoned date-time (:155-160);
+    *   3. RFC-1123 (:163-166);
+    *   4. otherwise the highest-year-looking-substring heuristic (:53-82):
+    *      all non-overlapping \d{4} runs, kept if in [minYear, maxYear];
+    *      several DISTINCT valid years → the (min+max)/2 integer-division
+    *      guess (guessYear:136-138); exactly one → that year; none → null;
+    *   5. final validateDate range check [minYear, maxYear] (:186-188) —
+    *      an ISO-parsed out-of-range year nulls out here.
+    * Reference MIN_YEAR = 1995, MAX_YEAR = currentYear+1 (PubDate.java:12-15)
+    * — maxYear is a parameter with a FIXED default so results stay
+    * deterministic across runs. The DOM/OpenGraph/JSON-LD heuristics need
+    * HTML; this is the text/attribute-level core every one of them funnels
+    * into (each heuristic ends in attemptParseDate).
+    * Scale: pure per-row expression chain (codegen'd try_to_timestamp +
+    * regexp), no shuffle, rides the scan. */
+  def pubDateYear(docs: DataFrame, dateCol: String,
+                  minYear: Int = 1995, maxYear: Int = 2027): DataFrame = {
+    val s0 = col(dateCol)
+    val s = when(length(s0) >= 4 && length(s0) < 32, s0)
+    val iso   = try_to_timestamp(s, lit("yyyy-MM-dd"))
+    val isoDt = try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss"))
+    val isoZ  = try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ssXXX"))
+    // RFC-1123: Spark's CORRECTED parser rejects 'EEE' as a PARSE pattern
+    // (DATETIME_PATTERN_RECOGNITION), so the day-of-week prefix is stripped
+    // textually first — it is redundant with the date anyway.
+    val rfc   = try_to_timestamp(
+      regexp_replace(s, "^[A-Za-z]{3}, ", ""), lit("dd MMM yyyy HH:mm:ss zzz"))
+    val yrs = filter(
+      transform(regexp_extract_all(s, lit("\\d{4}"), lit(0)),
+        y => y.cast("int")),
+      y => y >= minYear && y <= maxYear)
+    val mn = array_min(yrs)
+    val mx = array_max(yrs)
+    val raw = when(iso.isNotNull, year(iso))
+      .when(isoDt.isNotNull, year(isoDt))
+      .when(isoZ.isNotNull, year(isoZ))
+      .when(rfc.isNotNull, year(rfc))
+      .when(mx.isNotNull && mn =!= mx, ((mn + mx) / 2).cast("int"))
+      .when(mx.isNotNull, mx)
+    docs.select(col("doc_id"),
+        when(raw >= minYear && raw <= maxYear, raw).as("pub_year"))
+      .orderBy("doc_id")
+  }
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed
