@@ -49,6 +49,9 @@ import org.apache.spark.sql.functions._
   * Everything downstream is per-pair aggregation + a per-focus top-k
   * (struct-max would not suffice here: topK > 1 ⇒ window over the FILTERED
   * pair set, partitioned by focus domain — bounded by topK·|domains|).
+  * The op persists two intermediates (member table and its eligible
+  * weighted form, MEMORY_AND_DISK) for the duration of the returned plan;
+  * long-lived sessions can reclaim them with `spark.catalog.clearCache()`.
   */
 object AdjacencyOps {
 
@@ -62,10 +65,15 @@ object AdjacencyOps {
                          col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
 
-    // vector membership: (d, s) with the self-seed row
+    // vector membership: (d, s) with the self-seed row. Persisted: it feeds
+    // card, the weight table, and the eligible-member backbone — without a
+    // cache each consumer re-scans and re-shuffles the raw link table
+    // (measured: 34 parquet scans, zero exchange reuse; the consumers'
+    // projections differ so canonical-plan reuse never kicks in).
     val members = l.select(col("dst").as("d"), col("src").as("s"))
       .union(l.select(col("dst").as("d"), col("dst").as("s")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // eligible vectors and their cardinalities
     val card = members.groupBy("d").agg(count(lit(1)).as("card"))
@@ -78,8 +86,10 @@ object AdjacencyOps {
         coalesce(lit(1.0) / log(lit(2.0) + col("card")), lit(0.0)).as("w"))
 
     // eligible members only (focus and candidate both need a live vector),
-    // carrying the member's weight
+    // carrying the member's weight. Persisted: consumed by the norm table
+    // and BOTH sides of the pair self-join.
     val em = members.join(card.select(col("d")), "d").join(weights, "s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val emSrc =
       if (maxSourceFanout <= 0) em
