@@ -108,6 +108,14 @@ object SparkEntry {
 
     "j6_pagerank" -> ((s, dir) => RelationalOps.pageRank(tbl(s, dir, "events"), 50, 3)),
 
+    // j10/j11: the reference's SEEDED ranking algorithms — teleport mass to
+    // an origin set only (StandardPageRank), and the reversed-flow hub
+    // variant with per-iteration L1 normalization (ReversePageRank).
+    "j10_seeded_pagerank" -> ((s, dir) => RelationalOps.seededPageRankEvents(
+      tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, reverse = false)),
+    "j11_reverse_pagerank" -> ((s, dir) => RelationalOps.seededPageRankEvents(
+      tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, reverse = true)),
+
     // j9: website adjacencies — the reference's domain-similarity calculator
     // (weighted cosine over shared in-link sources) on a deterministic
     // 200-node link graph derived from events. minCard lowered to 5 so the
@@ -562,6 +570,11 @@ object SparkEntry {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "j6_pagerank" -> RelationalOps.pageRankOracleSql(50, 3),
+
+    "j10_seeded_pagerank" -> RelationalOps.seededPageRankOracleSql(
+      50, Seq(1L, 2L, 3L), 3, reverse = false),
+    "j11_reverse_pagerank" -> RelationalOps.seededPageRankOracleSql(
+      50, Seq(1L, 2L, 3L), 3, reverse = true),
 
     // j9: website adjacencies — vector(d) = {d} ∪ in-link sources; weights
     // 1/ln(2+card) for eligible-dest sources else 0 (the reference's

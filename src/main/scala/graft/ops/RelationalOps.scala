@@ -51,6 +51,76 @@ object RelationalOps {
     ranks
   }
 
+  /** J6b/J6c: the reference's two SEEDED ranking algorithms
+    * (StandardPageRank.java:13-49, ReversePageRank.java:14-42, shared loop
+    * RankingAlgorithm.pageRank:141-160). Differences from [[pageRankEdges]]'s
+    * textbook uniform-teleport form, all transcribed exactly:
+    *
+    *   - rank₀ = 1/n everywhere; the loop runs `iters` times and the
+    *     teleport adjustment is applied after every iteration EXCEPT the
+    *     last (`if (i < iter_max-1) adjustRankVector`, :152-154).
+    *   - standard (`reverse=false`): new(d) = 0.85·Σ_{s→d} rank(s)/outdeg(s),
+    *     then origins += 0.15/k (StandardPageRank.adjustRankVector:46-48).
+    *     Teleport mass goes ONLY to the origin set — non-origin dangling
+    *     mass evaporates, exactly as in the reference.
+    *   - reverse (`reverse=true`): rank flows AGAINST the edges —
+    *     new(d) = 0.85·(Σ_{d→j} rank(j)/indeg(j)) / ‖rank‖₁, then origins
+    *     += 1.0/k (ReversePageRank:17-40; note the 1.0, not 0.15, and the
+    *     per-iteration L1 normalization). Used by the reference to find
+    *     hubs that LINK TO a seed set ("academia"-style rankings).
+    *   - k = |origins ∩ nodes| (RankingAlgorithm.java:75-85 only keeps
+    *     resolvable origins); if none resolve there is no teleport at all.
+    *   - parallel edges: our edge list is deduped (the reference reads
+    *     distinct DB link rows); self-loops dropped (:55).
+    *
+    * Scale: identical shape to [[pageRankEdges]] — edges/degrees computed
+    * once, one shuffle per iteration, lineage cut every 8 iterations. The
+    * reverse variant's ‖rank‖₁ is a one-row aggregate broadcast back into
+    * the plan (no per-iteration driver action).
+    */
+  def seededPageRank(edges0: DataFrame, origins: Seq[Any], iters: Int,
+                     reverse: Boolean = false): DataFrame = {
+    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val n = nodes.count()
+    val k = nodes.where(col("id").isin(origins: _*)).count()
+    // degree of the rank-GIVING side: out-degree for standard, in-degree
+    // for reverse (ReversePageRank divides by |Dest2Src[j]|, :28-29)
+    val deg =
+      if (reverse) edges.groupBy("dst").agg(count(lit(1)).as("d"))
+      else edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val teleport = if (reverse) 1.0 else 0.15
+    var ranks = nodes.withColumn("r", expr(s"CAST(1.0 AS DOUBLE) / $n"))
+    for (i <- 1 to iters) {
+      val contribs =
+        if (reverse)
+          edges.join(deg, "dst")
+            .join(ranks.withColumnRenamed("id", "dst"), "dst")
+            .select(col("src").as("id"), expr("r / d").as("c"))
+        else
+          edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), expr("r / d").as("c"))
+      val summed = nodes.join(contribs.groupBy("id").agg(sum("c").as("cs")), Seq("id"), "left")
+      val base =
+        if (reverse) {
+          val norm = ranks.agg(sum(abs(col("r"))).as("norm"))
+          summed.crossJoin(broadcast(norm))
+            .select(col("id"), expr(
+              "CAST(0.85 AS DOUBLE) * coalesce(cs, CAST(0 AS DOUBLE)) / norm").as("r"))
+        } else summed.select(col("id"), expr(
+          "CAST(0.85 AS DOUBLE) * coalesce(cs, CAST(0 AS DOUBLE))").as("r"))
+      ranks =
+        if (i < iters && k > 0)
+          base.select(col("id"), (col("r") + when(col("id").isin(origins: _*),
+            lit(teleport / k)).otherwise(lit(0.0))).as("r"))
+        else base
+      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** J6 → index wiring: domain rank bytes from PageRank over a repo link
     * graph (src_repo, dst_repo). Ordinal percentile scaled to 0..254 (0 =
     * best; 255 stays the unknown-domain sentinel), the shape of the
@@ -58,13 +128,70 @@ object RelationalOps {
     * (RankingAlgorithm.java:141-188, DomainRankings.java:27-38). The global
     * ordinal window is a single-partition sort of ONE ROW PER DOMAIN —
     * fine to ~10^7 repos; beyond that switch to approx quantile buckets. */
-  def domainRanksFromPageRank(repoLinks: DataFrame, iters: Int = 100): DataFrame = {
+  def domainRanksFromPageRank(repoLinks: DataFrame, iters: Int = 100,
+                              originRepos: Seq[Any] = Nil,
+                              reverse: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pr = pageRankEdges(repoLinks.select(
-      col("src_repo").as("src"), col("dst_repo").as("dst")), iters)
+    val e = repoLinks.select(col("src_repo").as("src"), col("dst_repo").as("dst"))
+    val pr =
+      if (originRepos.nonEmpty) seededPageRank(e, originRepos, iters, reverse)
+      else pageRankEdges(e, iters)
     val w = Window.orderBy(col("r").desc, col("id"))
     pr.select(col("id").as("repo"),
       (percent_rank().over(w) * 254).cast("int").as("rank"))
+  }
+
+  /** [[seededPageRank]] over the same deterministic events-derived edge list
+    * as [[pageRank]], rounded for oracle comparison. */
+  def seededPageRankEvents(events: DataFrame, mod: Int, origins: Seq[Long],
+                           iters: Int, reverse: Boolean): DataFrame =
+    seededPageRank(events.select(
+        (col("user_id") % mod).as("src"),
+        (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")),
+        origins, iters, reverse)
+      .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
+
+  /** Matching DuckDB oracle for [[seededPageRankEvents]] — chained CTEs, one
+    * per iteration; teleport emitted only for non-final iterations, k
+    * resolved against the node set exactly as the operator does. */
+  def seededPageRankOracleSql(mod: Int, origins: Seq[Long], iters: Int,
+                              reverse: Boolean): String = {
+    val orig = origins.mkString(", ")
+    val degCte =
+      if (reverse) "deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)"
+      else "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)"
+    val base =
+      s"""WITH edges AS (SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
+         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |ok AS (SELECT count(*) AS k FROM nodes WHERE id IN ($orig)),
+         |$degCte,
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r FROM nodes)""".stripMargin
+    val tp = if (reverse) "CAST(1.0 AS DOUBLE)" else "CAST(0.15 AS DOUBLE)"
+    val steps = (1 to iters).map { i =>
+      val teleport =
+        if (i < iters)
+          s""" + CASE WHEN n.id IN ($orig) AND (SELECT k FROM ok) > 0
+             |        THEN $tp / (SELECT k FROM ok) ELSE CAST(0 AS DOUBLE) END""".stripMargin
+        else ""
+      if (reverse)
+        s"""r$i AS (SELECT n.id, CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / deg.d), CAST(0 AS DOUBLE)) / (SELECT sum(abs(r)) FROM r${i - 1})$teleport AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.src = n.id
+           |  LEFT JOIN deg ON deg.dst = e.dst
+           |  LEFT JOIN r${i - 1} p ON p.id = e.dst
+           |  GROUP BY n.id)""".stripMargin
+      else
+        s"""r$i AS (SELECT n.id, CAST(0.85 AS DOUBLE) * coalesce(sum(p.r / deg.d), CAST(0 AS DOUBLE))$teleport AS r
+           |  FROM nodes n
+           |  LEFT JOIN edges e ON e.dst = n.id
+           |  LEFT JOIN deg ON deg.src = e.src
+           |  LEFT JOIN r${i - 1} p ON p.id = e.src
+           |  GROUP BY n.id)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
   }
 
   /** Matching DuckDB oracle for [[pageRank]] — chained CTEs, one per iteration. */

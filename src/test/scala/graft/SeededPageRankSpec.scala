@@ -1,0 +1,121 @@
+package graft
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rank-identity for the seeded ranking algorithms: the Spark iterative-join
+  * form must reproduce, to FP tolerance, an independent array transcription
+  * of the reference loop (RankingAlgorithm.pageRank:141-160 with
+  * StandardPageRank:13-49 / ReversePageRank:14-42 plugged in). */
+class SeededPageRankSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-seeded-pagerank")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Deterministic multiplicative-congruential edge list: ~3 out-edges per
+    * node over n nodes, self-loops and duplicates included on purpose (the
+    * operator must drop/dedup them). */
+  private def edgeList(n: Int): Seq[(Long, Long)] =
+    (0 until n).flatMap { s =>
+      (1 to 3).map { j =>
+        val d = (s * 2654435761L + j * 40503L) % n
+        (s.toLong, math.abs(d))
+      }
+    } ++ Seq((0L, 0L), (1L, 2L), (1L, 2L))
+
+  /** Array transcription of the reference loop. Nodes are 0..n-1. */
+  private def simulate(n: Int, edges: Set[(Long, Long)], origins: Seq[Long],
+                       iters: Int, reverse: Boolean): Array[Double] = {
+    val out = Array.fill(n)(List.empty[Int]) // src → dsts
+    val in  = Array.fill(n)(List.empty[Int]) // dst → srcs
+    for ((s, d) <- edges if s != d) {
+      out(s.toInt) ::= d.toInt
+      in(d.toInt) ::= s.toInt
+    }
+    val resolvedK = origins.count(o => out(o.toInt).nonEmpty || in(o.toInt).nonEmpty)
+    var rank = Array.fill(n)(1.0 / n)
+    for (i <- 1 to iters) {
+      val next = new Array[Double](n)
+      if (reverse) {
+        val norm = rank.map(math.abs).sum
+        for (d <- 0 until n) {
+          var v = 0.0
+          for (j <- out(d)) v += rank(j) / in(j).size
+          next(d) = 0.85 * v / norm
+        }
+      } else {
+        for (d <- 0 until n) {
+          var v = 0.0
+          for (s <- in(d)) v += rank(s) / out(s).size
+          next(d) = 0.85 * v
+        }
+      }
+      if (i < iters && resolvedK > 0) {
+        val tp = (if (reverse) 1.0 else 0.15) / resolvedK
+        origins.foreach(o => next(o.toInt) += tp)
+      }
+      rank = next
+    }
+    rank
+  }
+
+  private def runBoth(n: Int, origins: Seq[Long], iters: Int, reverse: Boolean): Unit = {
+    import spark.implicits._
+    val raw = edgeList(n)
+    val df = RelationalOps.seededPageRank(raw.toDF("src", "dst"), origins, iters, reverse)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sim = simulate(n, raw.filter(e => e._1 != e._2).toSet, origins, iters, reverse)
+    // every node participates in some edge under this generator
+    assert(df.size === n)
+    for (id <- 0 until n)
+      assert(math.abs(df(id.toLong) - sim(id)) < 1e-12,
+        s"node $id: spark=${df(id.toLong)} sim=${sim(id)} reverse=$reverse")
+  }
+
+  test("standard seeded PageRank matches the reference loop (10 iters)") {
+    runBoth(30, Seq(3L, 7L), 10, reverse = false)
+  }
+
+  test("reverse PageRank matches the reference loop (10 iters)") {
+    runBoth(30, Seq(3L, 7L), 10, reverse = true)
+  }
+
+  test("no resolvable origins ⇒ no teleport (mass decays)") {
+    import spark.implicits._
+    val df = RelationalOps.seededPageRank(
+      edgeList(20).toDF("src", "dst"), Seq(999L), 5, reverse = false)
+    val total = df.collect().map(_.getDouble(1)).sum
+    assert(total < 0.85, s"teleport-free mass must decay below 0.85^1, got $total")
+  }
+
+  test("standard teleport concentrates mass on the origin's successors") {
+    import spark.implicits._
+    // The reference loop skips the teleport on the FINAL iteration
+    // (RankingAlgorithm.java:152-154), so the origin's own rank collapses to
+    // its organic in-link mass; the teleport mass it held all run shows up
+    // one hop downstream. Node 5's generator out-neighbors are {8, 11, 14}.
+    val ranks = RelationalOps.seededPageRank(
+      edgeList(30).toDF("src", "dst"), Seq(5L), 20, reverse = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val top3 = ranks.toSeq.sortBy(-_._2).take(3).map(_._1).toSet
+    assert(top3 === Set(8L, 11L, 14L),
+      s"origin successors must dominate, top3=$top3")
+  }
+
+  test("reverse PageRank rewards nodes that link TO the origin") {
+    import spark.implicits._
+    // star: leaves 1..28 link to hub 0; chain 29→40→41 never reaches the hub
+    // (40/41 sit outside the leaf id range so they share no hub edge).
+    val edges = (1L to 28L).map(s => (s, 0L)) ++ Seq((29L, 40L), (40L, 41L))
+    val ranks = RelationalOps.seededPageRank(
+      edges.toDF("src", "dst"), Seq(0L), 10, reverse = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every leaf linking to the seeded hub outranks the off-hub chain
+    assert(ranks(1L) > ranks(29L) && ranks(1L) > ranks(40L) && ranks(41L) === 0.0)
+  }
+}
