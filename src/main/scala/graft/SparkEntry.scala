@@ -116,6 +116,12 @@ object SparkEntry {
     "j11_reverse_pagerank" -> ((s, dir) => RelationalOps.seededPageRankEvents(
       tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, reverse = true)),
 
+    // s13: the reference's RankingSearchSet production path — seeded PR with
+    // peripheral nodes appended at rank 0, truncated to the top-40 set the
+    // query engine then restricts on (QuerySpec.domains).
+    "s13_search_set" -> ((s, dir) => RelationalOps.rankingSearchSetEvents(
+      tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60)),
+
     // j9: website adjacencies — the reference's domain-similarity calculator
     // (weighted cosine over shared in-link sources) on a deterministic
     // 200-node link graph derived from events. minCard lowered to 5 so the
@@ -126,6 +132,17 @@ object SparkEntry {
           (col("user_id") % 200).as("src"),
           (abs(floor(col("value") * 13).cast("long")) % 200).as("dst")),
         minCard = 5)),
+
+    // j12: the reference's production ranking — seeded PR over the j9
+    // similarity graph, each similarity row an unweighted bidirectional
+    // edge, no peripheral domains.
+    "j12_similarity_rank" -> ((s, dir) =>
+      AdjacencyOps.similarityPageRank(
+        tbl(s, dir, "events").select(
+          (col("user_id") % 200).as("src"),
+          (abs(floor(col("value") * 13).cast("long")) % 200).as("dst")),
+        Seq(1L, 2L, 3L), 3, minCard = 5)
+        .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")),
 
     // -- window aggregations (A2 prefix sum, A8 per-group top-k) -------------
     "a2_window_prefix_sum" -> ((s, dir) =>
@@ -489,6 +506,31 @@ object SparkEntry {
     s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** j9 similarity oracle, shared verbatim with j12 (which ranks over the
+    * graph this query produces). */
+  private val J9SimilaritySql =
+    """WITH l AS (SELECT DISTINCT user_id % 200 AS src,
+      |             abs(CAST(floor(value * 13) AS BIGINT)) % 200 AS dst FROM events),
+      |m AS (SELECT dst AS d, src AS s FROM l UNION SELECT dst, dst FROM l),
+      |c AS (SELECT d, count(*) AS card FROM m GROUP BY d HAVING count(*) < 10000),
+      |w AS (SELECT su.s, coalesce(CAST(1.0 AS DOUBLE) / ln(2 + c.card), CAST(0 AS DOUBLE)) AS w
+      |      FROM (SELECT DISTINCT s FROM m) su LEFT JOIN c ON su.s = c.d),
+      |em AS (SELECT m.d, m.s, w.w FROM m JOIN c ON m.d = c.d JOIN w ON m.s = w.s),
+      |sw AS (SELECT d, sum(w) AS sumw FROM em GROUP BY d),
+      |p AS (SELECT x.d AS a, y.d AS b, count(*) AS inter, sum(x.w) AS interw
+      |      FROM em x JOIN em y ON x.s = y.s AND x.d <> y.d GROUP BY x.d, y.d),
+      |f AS (SELECT p.a, p.b, p.interw, sa.sumw AS sumwa, sb.sumw AS sumwb
+      |      FROM p JOIN c ca ON p.a = ca.d JOIN c cb ON p.b = cb.d
+      |           JOIN sw sa ON p.a = sa.d JOIN sw sb ON p.b = sb.d
+      |      WHERE ca.card >= 5 AND cb.card >= greatest(2, ca.card // 100)
+      |        AND p.inter / sqrt(CAST(ca.card * cb.card AS DOUBLE)) > CAST(0.1 AS DOUBLE)),
+      |r AS (SELECT a, b, interw / sqrt(sumwa * sumwb) AS v FROM f
+      |      WHERE interw / sqrt(sumwa * sumwb) > CAST(0.1 AS DOUBLE)),
+      |t AS (SELECT a, b, round(v + 0.000000001, 6) AS vr,
+      |      row_number() OVER (PARTITION BY a ORDER BY round(v + 0.000000001, 6) DESC, b ASC) AS rn FROM r)
+      |SELECT a AS domain_id, b AS neighbor_id, vr AS relatedness
+      |FROM t WHERE rn <= 128 ORDER BY domain_id, neighbor_id""".stripMargin
+
   /** Tokenization CTE shared by the text oracles (DuckDB dialect). */
   private val TokCte =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)"""
@@ -576,32 +618,25 @@ object SparkEntry {
     "j11_reverse_pagerank" -> RelationalOps.seededPageRankOracleSql(
       50, Seq(1L, 2L, 3L), 3, reverse = true),
 
+    "s13_search_set" -> RelationalOps.rankingSearchSetOracleSql(
+      50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60),
+
     // j9: website adjacencies — vector(d) = {d} ∪ in-link sources; weights
     // 1/ln(2+card) for eligible-dest sources else 0 (the reference's
     // zero-filled weight array); unweighted then weighted cosine gates at
     // 0.1; candidate floor max(2, card/100); top-128 per focus domain.
-    "j9_domain_similarity" ->
-      """WITH l AS (SELECT DISTINCT user_id % 200 AS src,
-        |             abs(CAST(floor(value * 13) AS BIGINT)) % 200 AS dst FROM events),
-        |m AS (SELECT dst AS d, src AS s FROM l UNION SELECT dst, dst FROM l),
-        |c AS (SELECT d, count(*) AS card FROM m GROUP BY d HAVING count(*) < 10000),
-        |w AS (SELECT su.s, coalesce(CAST(1.0 AS DOUBLE) / ln(2 + c.card), CAST(0 AS DOUBLE)) AS w
-        |      FROM (SELECT DISTINCT s FROM m) su LEFT JOIN c ON su.s = c.d),
-        |em AS (SELECT m.d, m.s, w.w FROM m JOIN c ON m.d = c.d JOIN w ON m.s = w.s),
-        |sw AS (SELECT d, sum(w) AS sumw FROM em GROUP BY d),
-        |p AS (SELECT x.d AS a, y.d AS b, count(*) AS inter, sum(x.w) AS interw
-        |      FROM em x JOIN em y ON x.s = y.s AND x.d <> y.d GROUP BY x.d, y.d),
-        |f AS (SELECT p.a, p.b, p.interw, sa.sumw AS sumwa, sb.sumw AS sumwb
-        |      FROM p JOIN c ca ON p.a = ca.d JOIN c cb ON p.b = cb.d
-        |           JOIN sw sa ON p.a = sa.d JOIN sw sb ON p.b = sb.d
-        |      WHERE ca.card >= 5 AND cb.card >= greatest(2, ca.card // 100)
-        |        AND p.inter / sqrt(CAST(ca.card * cb.card AS DOUBLE)) > CAST(0.1 AS DOUBLE)),
-        |r AS (SELECT a, b, interw / sqrt(sumwa * sumwb) AS v FROM f
-        |      WHERE interw / sqrt(sumwa * sumwb) > CAST(0.1 AS DOUBLE)),
-        |t AS (SELECT a, b, round(v + 0.000000001, 6) AS vr,
-        |      row_number() OVER (PARTITION BY a ORDER BY round(v + 0.000000001, 6) DESC, b ASC) AS rn FROM r)
-        |SELECT a AS domain_id, b AS neighbor_id, vr AS relatedness
-        |FROM t WHERE rn <= 128 ORDER BY domain_id, neighbor_id""".stripMargin,
+    "j9_domain_similarity" -> J9SimilaritySql,
+
+    // j12: production ranking config — seeded PR over the j9 similarity
+    // graph, each similarity row an unweighted bidirectional edge.
+    "j12_similarity_rank" -> (RelationalOps.seededPrCtesOverEdges(
+      s"""WITH simq AS ($J9SimilaritySql)
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT domain_id AS src, neighbor_id AS dst FROM simq
+         |  UNION ALL SELECT neighbor_id AS src, domain_id AS dst FROM simq) u
+         |WHERE src <> dst""".stripMargin,
+      Seq(1L, 2L, 3L), 3, reverse = false) +
+      "\nSELECT id, round(r, 8) AS rank FROM r3 ORDER BY id"),
 
     "a2_window_prefix_sum" ->
       """SELECT o_orderkey, round(sum(o_totalprice) OVER

@@ -136,4 +136,28 @@ object AdjacencyOps {
         col("vr").as("relatedness"))
       .orderBy("domain_id", "neighbor_id")
   }
+
+  /** J12: the reference's PRODUCTION domain-ranking configuration — seeded
+    * PageRank over the SIMILARITY graph instead of the raw link graph
+    * (IndexSearchSetsService.java:95-96 constructs StandardPageRank over
+    * RankingDomainFetcherForSimilarityData). Reference semantics:
+    *
+    *   - each similarity row is an UNWEIGHTED, BIDIRECTIONAL link
+    *     (RankingDomainFetcherForSimilarityData.eachDomainLink:41-61 emits
+    *     both (src,dst) and (dst,src); RELATEDNESS is read but never used
+    *     as a weight),
+    *   - there are no peripheral domains for this variant (:103-105 — the
+    *     graph is already bidirectional).
+    *
+    * Scale: [[domainSimilarity]]'s output is topK-bounded per domain, so the
+    * derived edge list is ≤ 2·topK·|domains| — strictly smaller than the raw
+    * link graph the textbook variant iterates over.
+    */
+  def similarityPageRank(links: DataFrame, origins: Seq[Any], iters: Int,
+                         minCard: Int = 10): DataFrame = {
+    val sim = domainSimilarity(links, minCard = minCard)
+    val bidi = sim.select(col("domain_id").as("src"), col("neighbor_id").as("dst"))
+      .union(sim.select(col("neighbor_id").as("src"), col("domain_id").as("dst")))
+    RelationalOps.seededPageRank(bidi, origins, iters)
+  }
 }

@@ -151,18 +151,101 @@ object RelationalOps {
         origins, iters, reverse)
       .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
 
+  /** S8 production composition: `pageRankWithPeripheralNodes` feeding a
+    * `RankingSearchSet` (RankingAlgorithm.java:163-188,
+    * IndexSearchSetsService.java:95-131, RankingSearchSet.java:23-35) — the
+    * reference's RETRO / SMALLWEB / ACADEMIA query-time domain sets.
+    *
+    * The reference inserts "peripheral" domains (known but not in the core
+    * ranking set) right before the FINAL iteration; addPeripheralNodes' link
+    * filter (RankingAlgorithm.java:119-121, "This looks like a bug, but it
+    * improves the results") drops every link touching a pre-existing node,
+    * and RankVector.get returns 0 past the old vector's end (:228-231), so
+    * that final iteration leaves core ranks untouched and every peripheral
+    * node lands at rank exactly 0 — the whole mechanism REDUCES to appending
+    * the peripheral ids at the bottom of the ranking. We implement exactly
+    * that reduction: an anti-join append at rank 0, no extra iteration.
+    *
+    * The search set is the top-`max` ids by rank (RankVector.getRanking:
+    * 250-268 sorts descending and truncates). The reference's quicksort
+    * leaves equal ranks in arbitrary order; we break ties by id so the set
+    * is deterministic. Feed the resulting ids into `QuerySpec.domains` to
+    * get the reference's set-restricted query behavior.
+    *
+    * Scale: top-k is a TakeOrderedAndProject (per-partition heaps, no global
+    * sort); the peripheral append is one anti-join on id.
+    */
+  def rankingSearchSet(edges: DataFrame, origins: Seq[Any], iters: Int,
+                       max: Int, peripheral: DataFrame,
+                       reverse: Boolean = false): DataFrame = {
+    val core = seededPageRank(edges, origins, iters, reverse)
+    val appended = core.unionByName(
+      peripheral.select(col("id")).distinct()
+        .join(core.select("id"), Seq("id"), "left_anti")
+        .withColumn("r", lit(0.0)))
+    appended.select(col("id"), round(col("r"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("id")).limit(max)
+  }
+
+  /** [[rankingSearchSet]] over the events-derived edge list; peripheral ids
+    * are `user_id mod periphMod` (a strictly larger id universe than the
+    * graph's `mod`, so some ids exist only as peripherals). */
+  def rankingSearchSetEvents(events: DataFrame, mod: Int, origins: Seq[Long],
+                             iters: Int, max: Int, periphMod: Int,
+                             reverse: Boolean = false): DataFrame =
+    rankingSearchSet(
+      events.select(
+        (col("user_id") % mod).as("src"),
+        (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")),
+      origins, iters, max,
+      events.select((col("user_id") % periphMod).as("id")), reverse)
+
+  /** Matching DuckDB oracle for [[rankingSearchSetEvents]]: the seeded-PR CTE
+    * chain, a zero-rank peripheral append, then top-`max` by (rank desc, id).
+    */
+  def rankingSearchSetOracleSql(mod: Int, origins: Seq[Long], iters: Int,
+                                max: Int, periphMod: Int,
+                                reverse: Boolean = false): String =
+    seededPrCtes(mod, origins, iters, reverse) +
+      s""",
+         |core AS (SELECT id, round(r, 8) AS rank FROM r$iters),
+         |periph AS (SELECT DISTINCT user_id % $periphMod AS id FROM events
+         |  WHERE user_id % $periphMod NOT IN (SELECT id FROM nodes))
+         |SELECT id, rank FROM (
+         |  SELECT id, rank FROM core
+         |  UNION ALL SELECT id, CAST(0 AS DOUBLE) AS rank FROM periph)
+         |ORDER BY rank DESC, id LIMIT $max""".stripMargin
+
   /** Matching DuckDB oracle for [[seededPageRankEvents]] — chained CTEs, one
     * per iteration; teleport emitted only for non-final iterations, k
     * resolved against the node set exactly as the operator does. */
   def seededPageRankOracleSql(mod: Int, origins: Seq[Long], iters: Int,
-                              reverse: Boolean): String = {
+                              reverse: Boolean): String =
+    seededPrCtes(mod, origins, iters, reverse) +
+      s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
+
+  /** Shared CTE chain (`edges` … `r$iters`) for the seeded-PR oracles, over
+    * the standard events-derived edge list. */
+  private def seededPrCtes(mod: Int, origins: Seq[Long], iters: Int,
+                           reverse: Boolean): String =
+    seededPrCtesOverEdges(
+      s"""SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
+         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod""".stripMargin,
+      origins, iters, reverse)
+
+  /** Shared CTE chain (`edges` … `r$iters`) for the seeded-PR oracles over an
+    * arbitrary (src, dst) edge query — `edgesSelect` may itself carry a
+    * nested WITH; self-loop/dup hygiene is the caller's job (the operator
+    * applies it internally either way). Public so compositions that rank a
+    * DERIVED graph (e.g. the similarity graph) can reuse the chain. */
+  def seededPrCtesOverEdges(edgesSelect: String, origins: Seq[Long],
+                            iters: Int, reverse: Boolean): String = {
     val orig = origins.mkString(", ")
     val degCte =
       if (reverse) "deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)"
       else "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)"
     val base =
-      s"""WITH edges AS (SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
-         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod),
+      s"""WITH edges AS ($edgesSelect),
          |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |ok AS (SELECT count(*) AS k FROM nodes WHERE id IN ($orig)),
@@ -190,8 +273,7 @@ object RelationalOps {
            |  LEFT JOIN r${i - 1} p ON p.id = e.src
            |  GROUP BY n.id)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
+    (base +: steps).mkString(",\n")
   }
 
   /** Matching DuckDB oracle for [[pageRank]] — chained CTEs, one per iteration. */

@@ -107,6 +107,25 @@ class SeededPageRankSpec extends AnyFunSuite {
       s"origin successors must dominate, top3=$top3")
   }
 
+  test("rankingSearchSet: peripheral append at rank 0 + top-max truncation") {
+    import spark.implicits._
+    val edges = edgeList(20).toDF("src", "dst")
+    // ids 20..25 exist ONLY as peripherals (outside the 20-node graph);
+    // 0..19 overlap the core and must be anti-joined away, not duplicated.
+    val periph = (0L to 25L).toDF("id")
+    val set = RelationalOps.rankingSearchSet(edges, Seq(3L), 5, max = 23, peripheral = periph)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+    assert(set.length === 23)
+    assert(set.map(_._1).distinct.length === 23, "no duplicate ids in the set")
+    // expected = core seeded ranks (rounded as the operator rounds) plus the
+    // peripheral-only ids at exactly 0, ordered by (rank desc, id), top 23
+    val core = RelationalOps.seededPageRank(edges, Seq(3L), 5)
+      .collect().map(r => r.getLong(0) -> math.rint(r.getDouble(1) * 1e8) / 1e8).toMap
+    val expected = (core.toSeq ++ (20L to 25L).map(_ -> 0.0))
+      .sortBy { case (id, r) => (-r, id) }.take(23).toList
+    assert(set === expected)
+  }
+
   test("reverse PageRank rewards nodes that link TO the origin") {
     import spark.implicits._
     // star: leaves 1..28 link to hub 0; chain 29→40→41 never reaches the hub
