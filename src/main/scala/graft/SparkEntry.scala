@@ -122,6 +122,13 @@ object SparkEntry {
     "s13_search_set" -> ((s, dir) => RelationalOps.rankingSearchSetEvents(
       tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60)),
 
+    // s14: same set with the includeInRanking eligibility gate — applied
+    // AFTER the top-max cut (ineligible nodes consume slots, the set is not
+    // backfilled), the reference's exact accumulator behavior.
+    "s14_search_set_eligible" -> ((s, dir) => RelationalOps.rankingSearchSetEvents(
+      tbl(s, dir, "events"), 50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60,
+      evenIdsOnly = true)),
+
     // j9: website adjacencies — the reference's domain-similarity calculator
     // (weighted cosine over shared in-link sources) on a deterministic
     // 200-node link graph derived from events. minCard lowered to 5 so the
@@ -620,6 +627,9 @@ object SparkEntry {
 
     "s13_search_set" -> RelationalOps.rankingSearchSetOracleSql(
       50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60),
+
+    "s14_search_set_eligible" -> RelationalOps.rankingSearchSetOracleSql(
+      50, Seq(1L, 2L, 3L), 3, max = 40, periphMod = 60, evenIdsOnly = true),
 
     // j9: website adjacencies — vector(d) = {d} ∪ in-link sources; weights
     // 1/ln(2+card) for eligible-dest sources else 0 (the reference's

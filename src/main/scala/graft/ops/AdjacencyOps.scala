@@ -155,7 +155,11 @@ object AdjacencyOps {
     */
   def similarityPageRank(links: DataFrame, origins: Seq[Any], iters: Int,
                          minCard: Int = 10): DataFrame = {
+    // persisted: the bidi union reads `sim` twice, and without a cache each
+    // branch replays the similarity pair-join (the heaviest stage); same
+    // clearCache() reclamation note as domainSimilarity's intermediates
     val sim = domainSimilarity(links, minCard = minCard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bidi = sim.select(col("domain_id").as("src"), col("neighbor_id").as("dst"))
       .union(sim.select(col("neighbor_id").as("src"), col("domain_id").as("dst")))
     RelationalOps.seededPageRank(bidi, origins, iters)

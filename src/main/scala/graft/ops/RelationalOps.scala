@@ -175,16 +175,30 @@ object RelationalOps {
     * Scale: top-k is a TakeOrderedAndProject (per-partition heaps, no global
     * sort); the peripheral append is one anti-join on id.
     */
+  /** `eligible`, when set, is the id set passing the reference's
+    * `includeInRanking` (alias/special/social-media/`maxKnownUrls` tests,
+    * RankingAlgorithm.java:194-205 — the SMALLWEB set runs with
+    * `setMaxKnownUrls(750)`). Faithful quirk: getRanking's loop bound counts
+    * EVERY node (:260-265 — `i < numResults` first, eligibility inside), so
+    * ineligible nodes consume top-`max` slots and the final set comes back
+    * SMALLER than `max`, not backfilled. The filter therefore applies AFTER
+    * the truncation here, never before. */
   def rankingSearchSet(edges: DataFrame, origins: Seq[Any], iters: Int,
                        max: Int, peripheral: DataFrame,
-                       reverse: Boolean = false): DataFrame = {
+                       reverse: Boolean = false,
+                       eligible: Option[DataFrame] = None): DataFrame = {
     val core = seededPageRank(edges, origins, iters, reverse)
     val appended = core.unionByName(
       peripheral.select(col("id")).distinct()
         .join(core.select("id"), Seq("id"), "left_anti")
         .withColumn("r", lit(0.0)))
-    appended.select(col("id"), round(col("r"), 8).as("rank"))
+    val cut = appended.select(col("id"), round(col("r"), 8).as("rank"))
       .orderBy(col("rank").desc, col("id")).limit(max)
+    // no broadcast hint: `cut` is ≤ max rows but a semi join can only build
+    // on its right side, and `eligible` may be the whole domain table — let
+    // AQE pick (it will broadcast when the predicate output is small)
+    eligible.fold(cut)(e =>
+      cut.join(e.select(col("id")).distinct(), Seq("id"), "left_semi"))
   }
 
   /** [[rankingSearchSet]] over the events-derived edge list; peripheral ids
@@ -192,21 +206,29 @@ object RelationalOps {
     * graph's `mod`, so some ids exist only as peripherals). */
   def rankingSearchSetEvents(events: DataFrame, mod: Int, origins: Seq[Long],
                              iters: Int, max: Int, periphMod: Int,
-                             reverse: Boolean = false): DataFrame =
+                             reverse: Boolean = false,
+                             evenIdsOnly: Boolean = false): DataFrame =
     rankingSearchSet(
       events.select(
         (col("user_id") % mod).as("src"),
         (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")),
       origins, iters, max,
-      events.select((col("user_id") % periphMod).as("id")), reverse)
+      events.select((col("user_id") % periphMod).as("id")), reverse,
+      // stand-in for includeInRanking's data-dependent predicate (e.g.
+      // maxKnownUrls): a deterministic id-parity gate
+      eligible = if (evenIdsOnly)
+        Some(events.select((col("user_id") % periphMod).as("id"))
+          .where(col("id") % 2 === 0))
+      else None)
 
   /** Matching DuckDB oracle for [[rankingSearchSetEvents]]: the seeded-PR CTE
     * chain, a zero-rank peripheral append, then top-`max` by (rank desc, id).
     */
   def rankingSearchSetOracleSql(mod: Int, origins: Seq[Long], iters: Int,
                                 max: Int, periphMod: Int,
-                                reverse: Boolean = false): String =
-    seededPrCtes(mod, origins, iters, reverse) +
+                                reverse: Boolean = false,
+                                evenIdsOnly: Boolean = false): String = {
+    val inner = seededPrCtes(mod, origins, iters, reverse) +
       s""",
          |core AS (SELECT id, round(r, 8) AS rank FROM r$iters),
          |periph AS (SELECT DISTINCT user_id % $periphMod AS id FROM events
@@ -215,6 +237,10 @@ object RelationalOps {
          |  SELECT id, rank FROM core
          |  UNION ALL SELECT id, CAST(0 AS DOUBLE) AS rank FROM periph)
          |ORDER BY rank DESC, id LIMIT $max""".stripMargin
+    // eligibility applies OUTSIDE the LIMIT — ineligible nodes consume slots
+    if (evenIdsOnly) s"SELECT id, rank FROM (\n$inner\n) cut WHERE id % 2 = 0"
+    else inner
+  }
 
   /** Matching DuckDB oracle for [[seededPageRankEvents]] — chained CTEs, one
     * per iteration; teleport emitted only for non-final iterations, k

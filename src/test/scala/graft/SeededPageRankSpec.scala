@@ -126,6 +126,23 @@ class SeededPageRankSpec extends AnyFunSuite {
     assert(set === expected)
   }
 
+  test("eligibility gate applies AFTER the top-max cut (slots are consumed)") {
+    import spark.implicits._
+    val edges = edgeList(20).toDF("src", "dst")
+    val periph = (0L to 25L).toDF("id")
+    val evens = (0L to 25L).filter(_ % 2 == 0).toDF("id")
+    val gated = RelationalOps.rankingSearchSet(edges, Seq(3L), 5, max = 10,
+      peripheral = periph, eligible = Some(evens))
+      .collect().map(_.getLong(0)).toSet
+    val ungated = RelationalOps.rankingSearchSet(edges, Seq(3L), 5, max = 10,
+      peripheral = periph)
+      .collect().map(_.getLong(0)).toSet
+    // the gated set is exactly the even members of the ungated top-10 —
+    // NOT the top-10 of the even-only ranking (no backfill)
+    assert(gated === ungated.filter(_ % 2 == 0))
+    assert(gated.size < 10, "odd ids must consume slots without appearing")
+  }
+
   test("reverse PageRank rewards nodes that link TO the origin") {
     import spark.implicits._
     // star: leaves 1..28 link to hub 0; chain 29→40→41 never reaches the hub
