@@ -126,6 +126,15 @@ class SeededPageRankSpec extends AnyFunSuite {
     assert(set === expected)
   }
 
+  test("search-set top-max is a TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val plan = RelationalOps.rankingSearchSet(
+      edgeList(20).toDF("src", "dst"), Seq(3L), 2, max = 10,
+      peripheral = (0L to 25L).toDF("id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+  }
+
   test("eligibility gate applies AFTER the top-max cut (slots are consumed)") {
     import spark.implicits._
     val edges = edgeList(20).toDF("src", "dst")
