@@ -83,8 +83,13 @@ object RelationalOps {
     val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().cache()
-    val n = nodes.count()
-    val k = nodes.where(col("id").isin(origins: _*)).count()
+    // one driver action for both scalars (n, resolvable-origin count k) —
+    // it also populates the edges/nodes caches before the iteration loop
+    val nk = nodes.agg(
+      count(lit(1)).as("n"),
+      count(when(col("id").isin(origins: _*), lit(1))).as("k")).head()
+    val n = nk.getLong(0)
+    val k = nk.getLong(1)
     // degree of the rank-GIVING side: out-degree for standard, in-degree
     // for reverse (ReversePageRank divides by |Dest2Src[j]|, :28-29)
     val deg =
