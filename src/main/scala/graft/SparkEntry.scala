@@ -221,6 +221,17 @@ object SparkEntry {
         .limit(50).select("doc_id", "has_prio", "score")
     }),
 
+    // -- assistant ops over the corpus term dictionary (Suggestions/SymSpell) -
+    // su1: prefix walk capped at the trie's 256-lexicographic-first matches,
+    // re-ranked (df DESC, length, term); minPrefixLen relaxed to 1 because
+    // the fixture vocabulary shares no 3-char prefixes (reference default 3).
+    "su1_suggest" -> ((s, dir) =>
+      SuggestOps.suggestPrefix(TextOps.termDf(docs(s, dir)), "s", 5, minPrefixLen = 1)),
+    // sp1: "fash" sits at true-DL distance 1 from both "hash" and "fast" —
+    // exercises the min-distance cut AND the frequency-descending order.
+    "sp1_spellcheck" -> ((s, dir) =>
+      SuggestOps.spellCorrect(TextOps.termDf(docs(s, dir)), "fash")),
+
     // -- dedup (C9 generalized: exact, MinHash+LSH, SimHash, Jaccard) --------
     "d1_dedup_exact" -> ((s, dir) => DedupOps.exactDups(docs(s, dir))),
     "d2_minhash_sig" -> ((s, dir) => DedupOps.minhashSignatures(docs(s, dir))),
@@ -693,6 +704,22 @@ object SparkEntry {
          |round((CAST(0.1 AS DOUBLE) + CAST(0.9 AS DOUBLE) * tf / max_tf) * ln(CAST(n AS DOUBLE) / df), 5) AS tfidf
          |FROM tf JOIN mx USING (doc_id) JOIN df USING (term) CROSS JOIN n
          |ORDER BY doc_id, term""".stripMargin,
+
+    "su1_suggest" ->
+      s"""WITH $TokCte, tf AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |pre AS (SELECT term, df FROM dict
+         |        WHERE term LIKE 's%' AND length(term) < 32 AND regexp_matches(term, '^[a-z0-9]+$$')
+         |        ORDER BY term LIMIT 256)
+         |SELECT term, df FROM pre ORDER BY df DESC, length(term), term LIMIT 5""".stripMargin,
+
+    "sp1_spellcheck" ->
+      s"""WITH $TokCte, tf AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |cand AS (SELECT term, df, damerau_levenshtein(term, 'fash') AS dist FROM dict
+         |         WHERE damerau_levenshtein(term, 'fash') <= 2)
+         |SELECT term, dist, df FROM cand WHERE dist = (SELECT min(dist) FROM cand)
+         |ORDER BY df DESC, term""".stripMargin,
 
     "q_bm25_topk" -> TextOps.bm25OracleSql(Seq("spark", "query", "window"), 50),
 

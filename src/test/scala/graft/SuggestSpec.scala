@@ -1,0 +1,126 @@
+package graft
+
+import graft.ops.SuggestOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Assistant ops: SymSpell spelling correction (delete-join completeness vs
+  * brute force, true-DL semantics) and trie-order prefix suggestions. */
+class SuggestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-suggest")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private def dictOf(rows: (String, Long)*) = rows.toDF("term", "df")
+
+  // ---- true Damerau-Levenshtein (SymSpell.java:397-438 semantics) ----------
+
+  test("DL: unrestricted distance crosses transpositions (CA→ABC = 2, not OSA's 3)") {
+    assert(SuggestOps.damerauLevenshtein("CA", "ABC") === 2)
+    assert(SuggestOps.damerauLevenshtein("ABC", "CA") === 2)
+  }
+
+  test("DL: SymSpell's own discriminating examples (bank: bnak=1, kanb/xban/baxn=2)") {
+    assert(SuggestOps.damerauLevenshtein("bank", "bnak") === 1)
+    assert(SuggestOps.damerauLevenshtein("bank", "kanb") === 2)
+    assert(SuggestOps.damerauLevenshtein("bank", "xban") === 2)
+    assert(SuggestOps.damerauLevenshtein("bank", "baxn") === 2)
+    assert(SuggestOps.damerauLevenshtein("kitten", "sitting") === 3)
+    assert(SuggestOps.damerauLevenshtein("", "abc") === 3)
+    assert(SuggestOps.damerauLevenshtein("same", "same") === 0)
+  }
+
+  // ---- delete generation ---------------------------------------------------
+
+  test("query deletes: word + all ≤2-char deletions, none from 1-char strings") {
+    assert(SuggestOps.queryDeletes("ab", 2) === Set("ab", "a", "b"))
+    assert(SuggestOps.queryDeletes("a", 2) === Set("a"))
+    val d = SuggestOps.queryDeletes("abcd", 2)
+    assert(d.contains("abcd") && d.contains("abc") && d.contains("ab") && d.contains("cd"))
+    assert(!d.contains("a")) // distance 3
+  }
+
+  test("deletesTable column expansion matches the driver-side generator") {
+    for (w <- Seq("spark", "ab", "a", "query")) {
+      val fromCol = SuggestOps.deletesTable(dictOf(w -> 1L))
+        .select("del").as[String].collect().toSet
+      assert(fromCol === SuggestOps.queryDeletes(w, 2), s"word=$w")
+    }
+  }
+
+  // ---- spell correction ----------------------------------------------------
+
+  private val dict = dictOf(
+    "hash" -> 394L, "fast" -> 376L, "sort" -> 388L, "spark" -> 385L,
+    "stream" -> 391L, "batch" -> 402L, "scan" -> 398L, "bank" -> 10L,
+    "bnk" -> 3L, "abc" -> 7L, "ca" -> 5L)
+
+  test("spellCorrect: min-distance set, frequency-descending (fash → hash, fast)") {
+    val out = SuggestOps.spellCorrect(dict, "fash")
+      .select("term", "dist").as[(String, Int)].collect().toSeq
+    assert(out === Seq(("hash", 1), ("fast", 1)))
+  }
+
+  test("spellCorrect: exact dictionary hit evicts all distance>0 candidates") {
+    val out = SuggestOps.spellCorrect(dict, "hash")
+      .select("term", "dist").as[(String, Int)].collect().toSeq
+    assert(out === Seq(("hash", 0)))
+  }
+
+  test("spellCorrect: no candidate within distance 2 ⇒ empty") {
+    assert(SuggestOps.spellCorrect(dict, "zzzzzzz").count() === 0L)
+  }
+
+  test("delete join loses no candidates: parity with brute force, incl. " +
+    "simultaneous-delete and cross-transposition distance-2 cases") {
+    for (w <- Seq("fash", "sprak", "bnak", "ca", "ab", "strem", "scann", "batc", "xbank", "hashy")) {
+      val viaJoin = SuggestOps.spellCorrect(dict, w)
+        .select("term", "dist", "df").collect().map(_.toSeq).toSeq
+      val brute = SuggestOps.spellCorrectBrute(dict, w)
+        .select("term", "dist", "df").collect().map(_.toSeq).toSeq
+      assert(viaJoin === brute, s"word=$w")
+    }
+  }
+
+  // ---- prefix suggestions --------------------------------------------------
+
+  test("suggestPrefix: trie semantics — scanCap takes the lexicographic-first " +
+    "matches BEFORE the frequency re-rank (Suggestions.java:145-149)") {
+    val d = dictOf("saa" -> 1L, "sab" -> 2L, "sac" -> 3L, "szz" -> 999L)
+    // cap 3: trie walk sees saa,sab,sac; szz (highest df) is beyond the cap
+    val out = SuggestOps.suggestPrefix(d, "s", 2, scanCap = 3, minPrefixLen = 1)
+      .select("term").as[String].collect().toSeq
+    assert(out === Seq("sac", "sab"))
+  }
+
+  test("suggestPrefix: rank by df DESC then length then term; filters apply") {
+    val d = dictOf(
+      "sort" -> 388L, "sorting" -> 388L, "sample" -> 500L,
+      "s-bad!" -> 900L,                       // non-alnum: excluded
+      ("s" + "x" * 40) -> 900L)               // ≥32 chars: excluded
+    val out = SuggestOps.suggestPrefix(d, "s", 10, minPrefixLen = 1)
+      .select("term").as[String].collect().toSeq
+    assert(out === Seq("sample", "sort", "sorting"))
+  }
+
+  test("suggestPrefix: input below minPrefixLen yields nothing (reference MIN=3)") {
+    val d = dictOf("sort" -> 1L)
+    assert(SuggestOps.suggestPrefix(d, "so", 10).count() === 0L)
+    assert(SuggestOps.suggestPrefix(d, "sor", 10).count() === 1L)
+  }
+
+  test("suggestPrefix: startsWith predicate is pushable at a parquet scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sugg").toString
+    dictOf("sort" -> 1L, "query" -> 2L).write.mode("overwrite").parquet(tmp)
+    val plan = SuggestOps.suggestPrefix(spark.read.parquet(tmp), "sor", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), plan)
+  }
+}
