@@ -232,6 +232,28 @@ object SparkEntry {
     "sp1_spellcheck" -> ((s, dir) =>
       SuggestOps.spellCorrect(TextOps.termDf(docs(s, dir)), "fash")),
 
+    // m1/m2: the assistant's instant-answer evaluators as column functions —
+    // expression strings are BUILT in Spark and parsed/evaluated by EvalOps,
+    // while DuckDB recomputes the same arithmetic natively, so the oracle
+    // genuinely re-derives every value through a different path.
+    "m1_math_eval" -> ((s, dir) => {
+      val pk = pmod(col("l_partkey"), lit(100)).cast("string")
+      tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          concat(lit("sqrt("), pk, lit("+1)*3-"), col("l_linenumber").cast("string"),
+            lit("/4+log("), pk, lit("+2)+2^"),
+            pmod(col("l_linenumber"), lit(3)).cast("string")).as("e"))
+        .select(col("l_orderkey"), col("l_linenumber"), EvalOps.mathEval(col("e")).as("val"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "m2_unit_convert" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .withColumn("fu", expr("CASE l_linenumber % 4 WHEN 0 THEN 'km' WHEN 1 THEN 'kg' WHEN 2 THEN 'C' ELSE 'kg' END"))
+        .withColumn("tu", expr("CASE l_linenumber % 4 WHEN 0 THEN 'ft' WHEN 1 THEN 'g' WHEN 2 THEN 'F' ELSE 'm' END"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          EvalOps.unitConvert(pmod(col("l_partkey"), lit(50)).cast("string"),
+            col("fu"), col("tu")).as("converted"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // -- dedup (C9 generalized: exact, MinHash+LSH, SimHash, Jaccard) --------
     "d1_dedup_exact" -> ((s, dir) => DedupOps.exactDups(docs(s, dir))),
     "d2_minhash_sig" -> ((s, dir) => DedupOps.minhashSignatures(docs(s, dir))),
@@ -720,6 +742,21 @@ object SparkEntry {
          |         WHERE damerau_levenshtein(term, 'fash') <= 2)
          |SELECT term, dist, df FROM cand WHERE dist = (SELECT min(dist) FROM cand)
          |ORDER BY df DESC, term""".stripMargin,
+
+    "m1_math_eval" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  sqrt((l_partkey % 100)+1)*3 - l_linenumber/4.0 + ln((l_partkey % 100)+2)
+        |    + power(2, l_linenumber % 3) AS val
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "m2_unit_convert" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE l_linenumber % 4
+        |    WHEN 0 THEN (1000*(l_partkey % 50))/0.3048
+        |    WHEN 1 THEN (1*(l_partkey % 50))/0.001
+        |    WHEN 2 THEN 32 + 9*(l_partkey % 50)/5.0
+        |    ELSE NULL END AS converted
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_bm25_topk" -> TextOps.bm25OracleSql(Seq("spark", "query", "window"), 50),
 
