@@ -118,6 +118,12 @@ object SuggestOps {
     dict.where(length(col("term")) <= maxLen)
       .select(explode(deleteVariants(col("term"))).as("del"), col("term"), col("df"))
 
+  /** Verify a candidate set: true-DL distances, ≤ maxEdits cut, minimal
+    * distance only, frequency-descending order. The tail every spell path
+    * (inline, brute, snapshot-artifact serving) shares. */
+  def spellVerify(cand: DataFrame, word: String, maxEdits: Int = MaxEdits): DataFrame =
+    minDistanceSet(withDistance(cand, word, maxEdits))
+
   private def withDistance(cand: DataFrame, word: String, maxEdits: Int): DataFrame = {
     // True-DL verification runs on the candidate set only — after the delete
     // join (or the brute filter) it is bucket-occupancy-sized, not
@@ -146,14 +152,14 @@ object SuggestOps {
     val cand = deletesTable(dict)
       .join(broadcast(qDels), "del")
       .select("term", "df").distinct()
-    minDistanceSet(withDistance(cand, word, maxEdits))
+    spellVerify(cand, word, maxEdits)
   }
 
   /** Brute-force twin of [[spellCorrect]] — verifies every dictionary term
     * directly. Used by the spec to prove the delete join loses no candidates
     * and by nothing else (it scans the whole dictionary per query). */
   def spellCorrectBrute(dict: DataFrame, word: String, maxEdits: Int = MaxEdits): DataFrame =
-    minDistanceSet(withDistance(dict.select("term", "df"), word, maxEdits))
+    spellVerify(dict.select("term", "df"), word, maxEdits)
 
   /** Typeahead suggestions: prefix-restricted dictionary walk capped at
     * `scanCap` lexicographically-first matches (the reference's trie

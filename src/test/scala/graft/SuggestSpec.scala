@@ -116,6 +116,38 @@ class SuggestSpec extends AnyFunSuite {
     assert(SuggestOps.suggestPrefix(d, "sor", 10).count() === 1L)
   }
 
+  // ---- persisted snapshot artifacts (SuggestDict) --------------------------
+
+  test("snapshot artifacts: suggest and spell serve from persisted tables, " +
+    "match the inline ops, and push their predicates to the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sugdict").toString
+    val corpus = graft.fixtures.Fixtures.tinyCorpus(spark).toDF()
+    graft.build.SuggestDict.write(spark, corpus, root, "snap-1")
+    val snapDir = graft.tables.Snapshots.stagingDir(root, "snap-1").toString
+    val dict = graft.build.TermFreqDict.compute(spark, corpus)
+      .where(col("term").rlike("^[a-z0-9]+$") &&
+        length(col("term")) < SuggestOps.MaxSuggestTermLength)
+
+    val served = graft.build.SuggestDict.suggest(spark, snapDir, "tok", 5)
+    assert(served.queryExecution.executedPlan.toString.contains("StartsWith"))
+    assert(served.collect().map(_.toSeq).toSeq ===
+      SuggestOps.suggestPrefix(dict, "tok", 5).collect().map(_.toSeq).toSeq)
+
+    for (w <- Seq("tok00", "alpha", "gamm", "zzzzzz")) {
+      val art = graft.build.SuggestDict.spellCorrect(spark, snapDir, w)
+      if (w == "tok00") // the In(del, …) keys reach the parquet scan
+        assert(art.queryExecution.executedPlan.toString.contains("PushedFilters: [In(del"))
+      assert(art.collect().map(_.toSeq).toSeq ===
+        SuggestOps.spellCorrect(dict, w).collect().map(_.toSeq).toSeq, s"word=$w")
+    }
+
+    // resumable: both stage markers exist, a second write is a no-op
+    assert(graft.tables.Snapshots.isStageDone(root, "snap-1", graft.build.SuggestDict.StageDict))
+    assert(graft.tables.Snapshots.isStageDone(root, "snap-1", graft.build.SuggestDict.StageDeletes))
+    graft.build.SuggestDict.write(spark, corpus, root, "snap-1")
+    assert(graft.build.SuggestDict.suggest(spark, snapDir, "tok", 5).count() === 5L)
+  }
+
   test("suggestPrefix: startsWith predicate is pushable at a parquet scan") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-sugg").toString
     dictOf("sort" -> 1L, "query" -> 2L).write.mode("overwrite").parquet(tmp)
