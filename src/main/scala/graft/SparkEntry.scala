@@ -277,6 +277,15 @@ object SparkEntry {
         d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
     }),
 
+    // p1: the composed curation chain — exact dedup → decontamination (vs the
+    // same doc_id%50 eval split d8 uses) → language + quality gates → packed
+    // 2048-token chunks. One call, end-to-end, over the audited parts.
+    "p1_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      CurationOps.curate(
+        d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
+    }),
+
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
     "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
@@ -742,6 +751,44 @@ object SparkEntry {
          |         WHERE damerau_levenshtein(term, 'fash') <= 2)
          |SELECT term, dist, df FROM cand WHERE dist = (SELECT min(dist) FROM cand)
          |ORDER BY df DESC, term""".stripMargin,
+
+    "p1_curation" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+         |bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+         |keep1 AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+         |dd AS (SELECT c.doc_id, c.text, c.lang FROM corpus c JOIN keep1 USING (doc_id)),
+         |dt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM dd),
+         |p AS (SELECT doc_id, toks, i FROM dt CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 3),
+         |g AS (SELECT DISTINCT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] AS span FROM p),
+         |bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM bench),
+         |bp AS (SELECT doc_id, toks, i FROM bt CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 3),
+         |bg AS (SELECT DISTINCT toks[i] || '_' || toks[i+1] || '_' || toks[i+2] || '_' || toks[i+3] AS span FROM bp),
+         |contam AS (SELECT DISTINCT doc_id FROM g JOIN bg USING (span)),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM dd),
+         |st AS (SELECT doc_id, count(*) AS n_tok, sum(length(term)) AS sum_len,
+         |  sum(CASE WHEN term IN ($stops) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok WHERE term <> '' GROUP BY doc_id),
+         |gate AS (SELECT doc_id FROM st
+         |  WHERE round(n_stop / CAST(n_tok AS DOUBLE), 6) > CAST(0.02 AS DOUBLE)
+         |  AND round(CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tok AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+         |    + (CASE WHEN sum_len / CAST(n_tok AS DOUBLE) BETWEEN 3 AND 8 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) >= CAST(0.5 AS DOUBLE)
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |surv AS (SELECT dd.lang, dd.doc_id, dd.text FROM dd JOIN gate USING (doc_id)),
+         |t AS (SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |      CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+         |        PARTITION BY lang ORDER BY doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |      FROM surv)
+         |SELECT lang, doc_id, chunk,
+         |       least(start + n, (chunk + 1) * 2048) - greatest(start, chunk * 2048) AS toks
+         |FROM (SELECT lang, doc_id, n, start,
+         |        unnest(generate_series(start // 2048, (start + n - 1) // 2048)) AS chunk
+         |      FROM t) u
+         |ORDER BY lang, doc_id, chunk""".stripMargin
+    },
 
     "m1_math_eval" ->
       """SELECT l_orderkey, l_linenumber,

@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end curation chain of a pretraining-data pipeline, composed
+  * from the audited single-purpose operators: exact dedup → benchmark
+  * decontamination → language gate → quality gate → token-budget sequence
+  * packing. One call takes a raw corpus and an eval set and returns the
+  * packed training chunks.
+  *
+  * Stage order is fixed and canonical: dedup FIRST (the min-doc_id survivor
+  * must be chosen on the raw corpus, or a filtered-out earlier copy would
+  * change which row survives), then decontamination, then the per-doc gates,
+  * then packing over the survivor set (prefix offsets are defined over
+  * survivors, not the raw corpus).
+  *
+  * Scale shape is inherited from the parts, all plan-audited elsewhere:
+  * dedup is one hash-agg on content md5 (uniform keys); decontamination
+  * broadcasts the DISTINCT-aggregated benchmark spans so the corpus never
+  * shuffles for the join; the gates are one per-doc aggregate; packing is
+  * the two-phase distributed prefix sum (no single-language window sort).
+  * Nothing in the chain collects the corpus to the driver.
+  */
+object CurationOps {
+
+  /** Gates are applied on the same 6-decimal-rounded ratios the standalone
+    * quality op reports, so a pipeline decision is always explainable by the
+    * published per-doc quality row. */
+  def curate(docs: DataFrame, benchmark: DataFrame, n: Int = 4,
+             minStopRatio: Double = 0.02, minQuality: Double = 0.5,
+             budget: Long = 2048L): DataFrame = {
+    // 1. exact dedup — keep the canonical (min doc_id) copy per content hash
+    val keep = DedupOps.exactDups(docs).select(col("keep_id").as("doc_id"))
+    val deduped = docs.join(keep, "doc_id")
+    // 2. drop docs sharing any n-gram with the eval set
+    val contaminated = DedupOps.decontaminate(deduped, benchmark, n).select("doc_id")
+    val cleaned = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3+4. language (stopword-ratio) and composite-quality gates
+    val gated = TextOps.quality(cleaned)
+      .where(col("stop_ratio") > minStopRatio && col("quality") >= minQuality)
+      .select("doc_id")
+    // 5. pack survivors into fixed token-budget chunks per language
+    TextOps.packChunks(cleaned.join(gated, "doc_id"), budget)
+  }
+}
