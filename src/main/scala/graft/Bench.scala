@@ -319,11 +319,15 @@ object Bench {
     // at 1.086). All raw pairs are still published for transparency.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.length % 2 == 1) s(s.length / 2)
+      if (s.isEmpty) Double.NaN // pairs=0 smoke: scaling skipped, JSON gets null
+      else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
     val loDps = median(pairResults.map(_._1))
     val hiDps = median(pairResults.map(_._2))
+    // pairs=0 (suite/latency-only smoke): no timed build ran, so point the
+    // query section at the warm-up index instead of a never-written root
+    if (pairResults.isEmpty) rootHi = s"$work/warm-idx"
     // queries always run in a fresh full-parallelism session against the
     // last hi-side index on disk (build sessions are per-side and stopped)
     val sparkHi = session(highCores)
@@ -368,9 +372,10 @@ object Bench {
     val pairsJson = pairResults.map { case (lo, hi) =>
       s"""{"lo":$lo,"hi":$hi,"eff":${(hi / lo) / (highCores.toDouble / lowCores)}}"""
     }.mkString("[", ",", "]")
+    def jnum(x: Double): String = if (x.isNaN) "null" else x.toString
     val scaling =
       s"""{"docs":$nDocs,"cores_low":$lowCores,"cores_high":$highCores,""" +
-      s""""docs_per_sec_low":$loDps,"docs_per_sec_high":$hiDps,"efficiency":$efficiency,""" +
+      s""""docs_per_sec_low":${jnum(loDps)},"docs_per_sec_high":${jnum(hiDps)},"efficiency":${jnum(efficiency)},""" +
       s""""child_jvm":$childJvm,"pinned":$pinCores,"bus_equalized":$busEqualize,"pairs":$pairsJson}"""
     val latency = s"""{"p50_ms":$p50,"p95_ms":$p95,"n_queries":${lat.length}}"""
     val latencyB = s"""{"p50_ms":$p50B,"p95_ms":$p95B,"n_queries":${latB.length}}"""

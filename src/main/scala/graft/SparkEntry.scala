@@ -327,6 +327,11 @@ object SparkEntry {
 
     "t7_pack_chunks" -> ((s, dir) => TextOps.packChunks(docs(s, dir), 2048L)),
 
+    // t12: α=0.5 flattening at a 50% token budget — tail languages keep a
+    // larger share than their corpus fraction, head languages are cut
+    "t12_temperature_sample" -> ((s, dir) =>
+      TextOps.temperatureSample(docs(s, dir), alpha = 0.5, targetFrac = 0.5)),
+
     // t9: weighted-lexicon topic scorer (reference topic-detection testP
     // shape): a "streaming" topic over the fixture vocabulary — positive
     // topical terms, negative off-topic terms, mirroring the detectors'
@@ -1046,6 +1051,17 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t7_pack_chunks" -> TextOps.packChunksOracleSql(2048L),
+
+    "t12_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_g) AS n_total, sum(pow(n_g, 0.5)) AS z FROM c),
+        |r AS (SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |        (pow(n_g, 0.5) / z) * 0.5 * n_total / n_g) AS rate
+        |      FROM c CROSS JOIN tot)
+        |SELECT d.doc_id, d.lang, round(r.rate, 6) AS rate
+        |FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 < r.rate * 10000
+        |ORDER BY d.doc_id""".stripMargin,
 
     // t8: the same staged replace chain as TextOps.piiScrub — counts taken
     // BEFORE each replace, on the text the previous stage produced. DuckDB

@@ -263,6 +263,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T12: temperature-flattened mixture sampling — the multilingual-LM
+    * rebalancing step (exponentiated smoothing, XLM §3.1 style): the target
+    * share of group g is q_g ∝ n_g^α, which flattens the group distribution
+    * for α < 1 (tail languages upsampled relative to their share), realized
+    * as per-group keep-rates r_g = min(1, q_g · f · N / n_g) applied through
+    * the SAME deterministic md5 gate as [[sampleStratified]] — the sample is
+    * reproducible row-by-row and oracle-checkable, never rand()-dependent.
+    *
+    * Scale shape: everything before the filter is a #groups-sized aggregate
+    * (one row per language) broadcast back onto the scan; the corpus itself
+    * never shuffles and the gate is a pushable row-local predicate. */
+  def temperatureSample(docs: DataFrame, alpha: Double, targetFrac: Double): DataFrame = {
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_g"))
+    val tot = counts.agg(sum("n_g").as("n_total"), sum(pow(col("n_g"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        (pow(col("n_g"), lit(alpha)) / col("z")) * lit(targetFrac) * col("n_total") / col("n_g")))
+      .select("lang", "rate")
+    docs.join(broadcast(rates), "lang")
+      .where(h60(col("doc_id").cast("string")) % 10000L < col("rate") * lit(10000.0))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+
   /** T7: token-budget sequence packing — the "concatenate and chunk into
     * fixed-length training sequences" step of LLM pretraining (each language
     * is one deterministic document stream ordered by doc_id; chunk c covers

@@ -331,6 +331,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate") && !plan.contains("Window"), plan)
   }
 
+  test("temperatureSample: α=1 reduces to uniform targetFrac; α<1 flattens; " +
+    "deterministic; rates ride a broadcast join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // α=1: q_g = n_g/N ⇒ every group's keep-rate is exactly the target frac
+    val flat = TextOps.temperatureSample(docs, alpha = 1.0, targetFrac = 0.4)
+    val rates1 = flat.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rates1.values.foreach(r => assert(math.abs(r - 0.4) < 1e-6, rates1))
+    // α=1, f=1 keeps everything
+    assert(TextOps.temperatureSample(docs, 1.0, 1.0).count() === docs.count())
+    // α<1 upsamples tails: the rarest language gets a higher keep-rate
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (head, tail) = (counts.maxBy(_._2)._1, counts.minBy(_._2)._1)
+    val cooled = TextOps.temperatureSample(docs, alpha = 0.5, targetFrac = 0.5)
+    val rates05 = cooled.select("lang", "rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates05(tail) > rates05(head), rates05)
+    // row-deterministic and broadcast-shaped
+    assert(cooled.collect().toSeq ===
+      TextOps.temperatureSample(docs, 0.5, 0.5).collect().toSeq)
+    assert(planOf(cooled).contains("BroadcastHashJoin"), planOf(cooled))
+  }
+
   test("packChunks: hand fixture, per-lang streams, boundary split, no Window") {
     import spark.implicits._
     val docs = Seq(
