@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * survivors, not the raw corpus).
   *
   * Scale shape is inherited from the parts, all plan-audited elsewhere:
-  * dedup is one hash-agg on content md5 (uniform keys); decontamination
+  * dedup is one slim hash-agg on content md5 (uniform keys) plus one id-keyed
+  * join back to the corpus; decontamination
   * broadcasts the DISTINCT-aggregated benchmark spans so the corpus never
   * shuffles for the join; the gates are one per-doc aggregate; packing is
   * the two-phase distributed prefix sum (no single-language window sort).
@@ -35,7 +36,14 @@ object CurationOps {
     val deduped = docs.join(keep, "doc_id")
     // 2. drop docs sharing any n-gram with the eval set
     val contaminated = DedupOps.decontaminate(deduped, benchmark, n).select("doc_id")
+    // `cleaned` is the diamond point: the quality gates, the survivor join,
+    // and the packer all read it, and without materialization Catalyst
+    // re-runs the dedup + decontamination lineage once PER consumer (three
+    // corpus passes, plan-verified). A real pipeline writes each stage to a
+    // table; persist is the in-query analog, so the chain upstream of the
+    // gates executes exactly once.
     val cleaned = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3+4. language (stopword-ratio) and composite-quality gates
     val gated = TextOps.quality(cleaned)
       .where(col("stop_ratio") > minStopRatio && col("quality") >= minQuality)
