@@ -277,6 +277,34 @@ object SparkEntry {
         d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
     }),
 
+    // c1/c2: code-corpus curation — the documents table gains a synthetic
+    // repo path and header augmentations (same CASE chain mirrored in the
+    // oracle, the t8 pattern) so the path/marker/minification/license
+    // heuristics fire on real variety.
+    "c1_code_filter" -> ((s, dir) =>
+      CodeOps.vendoredFilter(docs(s, dir)
+        .withColumn("path", expr(
+          "CASE CAST(doc_id % 5 AS INT) " +
+            "WHEN 0 THEN 'vendor/lib/f' || doc_id || '.js' " +
+            "WHEN 1 THEN 'node_modules/pkg/f' || doc_id || '.min.js' " +
+            "WHEN 2 THEN 'src/main/f' || doc_id || '.scala' " +
+            "WHEN 3 THEN 'dist/bundle' || doc_id || '.js' " +
+            "ELSE 'docs/readme' || doc_id || '.md' END"))
+        .withColumn("text", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN '// DO NOT EDIT generated by graftgen' || chr(10) || text " +
+            "WHEN doc_id % 11 = 0 THEN text || chr(10) || repeat('x', 1200) " +
+            "ELSE text END")))),
+
+    "c2_license_detect" -> ((s, dir) =>
+      CodeOps.licenseDetect(docs(s, dir)
+        .withColumn("text", expr(
+          "CASE CAST(doc_id % 6 AS INT) " +
+            "WHEN 0 THEN 'Licensed under the Apache License, Version 2.0' || chr(10) || text " +
+            "WHEN 1 THEN '// MIT License' || chr(10) || text " +
+            "WHEN 2 THEN '/* GNU Lesser General Public License */' || chr(10) || text " +
+            "WHEN 3 THEN 'GNU General Public License v3' || chr(10) || text " +
+            "ELSE text END")))),
+
     // p1: the composed curation chain — exact dedup → decontamination (vs the
     // same doc_id%50 eval split d8 uses) → language + quality gates → packed
     // 2048-token chunks. One call, end-to-end, over the audited parts.
@@ -756,6 +784,53 @@ object SparkEntry {
          |         WHERE damerau_levenshtein(term, 'fash') <= 2)
          |SELECT term, dist, df FROM cand WHERE dist = (SELECT min(dist) FROM cand)
          |ORDER BY df DESC, term""".stripMargin,
+
+    "c1_code_filter" -> {
+      val gen = CodeOps.GeneratedMarkers
+        .map(m => s"contains(lower(substring(text, 1, ${CodeOps.GeneratedHeadChars})), '$m')")
+        .mkString(" OR ")
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 5 AS INT)
+         |    WHEN 0 THEN 'vendor/lib/f' || doc_id || '.js'
+         |    WHEN 1 THEN 'node_modules/pkg/f' || doc_id || '.min.js'
+         |    WHEN 2 THEN 'src/main/f' || doc_id || '.scala'
+         |    WHEN 3 THEN 'dist/bundle' || doc_id || '.js'
+         |    ELSE 'docs/readme' || doc_id || '.md' END AS path,
+         |  CASE WHEN doc_id % 7 = 0 THEN '// DO NOT EDIT generated by graftgen' || chr(10) || text
+         |       WHEN doc_id % 11 = 0 THEN text || chr(10) || repeat('x', 1200)
+         |       ELSE text END AS text
+         |  FROM documents),
+         |v AS (SELECT doc_id,
+         |  (regexp_matches(path, '${CodeOps.VendoredPathRe}')
+         |   OR regexp_matches(path, '${CodeOps.MinifiedExtRe}')
+         |   OR regexp_matches(path, '${CodeOps.LockFileRe}')) AS is_vendored,
+         |  ($gen) AS is_generated,
+         |  (list_max(list_transform(string_split(text, chr(10)), x -> length(x)))
+         |    > ${CodeOps.MinifiedLineLen}) AS is_minified
+         |  FROM aug)
+         |SELECT doc_id, is_vendored, is_generated, is_minified,
+         |  (NOT is_vendored AND NOT is_generated AND NOT is_minified) AS keep
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    "c2_license_detect" -> {
+      val cases = CodeOps.LicenseFamilies.map { case (fam, phrases) =>
+        val cond = phrases.map(p => s"contains(lower(text), '$p')").mkString(" OR ")
+        s"WHEN $cond THEN '$fam'"
+      }.mkString("\n|  ")
+      s"""WITH aug AS (SELECT doc_id,
+         |  CASE CAST(doc_id % 6 AS INT)
+         |    WHEN 0 THEN 'Licensed under the Apache License, Version 2.0' || chr(10) || text
+         |    WHEN 1 THEN '// MIT License' || chr(10) || text
+         |    WHEN 2 THEN '/* GNU Lesser General Public License */' || chr(10) || text
+         |    WHEN 3 THEN 'GNU General Public License v3' || chr(10) || text
+         |    ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id, CASE
+         |  $cases
+         |  ELSE 'unknown' END AS license
+         |FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     "p1_curation" -> {
       val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
