@@ -50,6 +50,25 @@ class QueryFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent serving: 8 threads × mixed queries return exactly the " +
+    "serial results (shared Index caches are thread-safe)") {
+    val idx = QueryEngine.open(root, spark)
+    val queries = Seq("tok000", "tok001 tok002", "tok000 -tok003", "\"alpha beta\"",
+      "rl_0_1", "tok004 ?tok005", "lang:scala tok000", "tok006 tok007 tok008")
+    val serial = queries.map(q => QueryParser.parse(q))
+      .map(s => QueryEngine.search(spark, idx, s).map(r => (r.url_id, r.domain_id, r.score)))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    for (_ <- 1 to 3) { // three rounds to vary interleavings
+      val par = Await.result(
+        Future.sequence(queries.map(q => Future {
+          QueryEngine.search(spark, idx, QueryParser.parse(q)).map(r => (r.url_id, r.domain_id, r.score))
+        })), 120.seconds)
+      assert(par === serial)
+    }
+  }
+
   test("pathological inputs: empty, whitespace, operator soup, very long") {
     val evil = Seq("", "   ", "\"", "-", "?", "(", ")", "((((", "))))",
       "near: site: qs= lang:", ":::::", "- - - -", "\"a b\" \"c d\" \"e f\"",
