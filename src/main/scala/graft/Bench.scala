@@ -360,6 +360,24 @@ object Bench {
     }.toArray.sorted
     val p50B = percentile(latB, 0.50)
     val p95B = percentile(latB, 0.95)
+
+    // ---- 3b. load test (opt-in, SPARK_GRAFT_LOADTEST=N): the reference's
+    // only perf tool fires 10k random 3-common-word queries at a local
+    // deployment and prints average latency (LoadTestMain.java:30-50). Same
+    // shape here: seeded random 3-term conjunctions over the Zipf-head
+    // vocabulary, serial, against the same index the latency section used.
+    val loadTest = sys.env.get("SPARK_GRAFT_LOADTEST").map(_.trim.toInt).map { n =>
+      val rnd = new scala.util.Random(42)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < n) {
+        val q = Seq.fill(3)(f"tok${rnd.nextInt(50)}%03d").distinct.mkString(" ")
+        QueryEngine.search(sparkHi, idx, QueryParser.parse(q, limitByDomain = 10, limitTotal = 10))
+        i += 1
+      }
+      val totalMs = (System.nanoTime() - t0) / 1e6
+      s"""{"n":$n,"avg_ms":${totalMs / n},"total_s":${totalMs / 1e3}}"""
+    }
     sparkHi.stop()
 
     val efficiency = math.min(1.0, median(pairResults.map { case (lo, hi) =>
@@ -379,6 +397,7 @@ object Bench {
       s""""child_jvm":$childJvm,"pinned":$pinCores,"bus_equalized":$busEqualize,"pairs":$pairsJson}"""
     val latency = s"""{"p50_ms":$p50,"p95_ms":$p95,"n_queries":${lat.length}}"""
     val latencyB = s"""{"p50_ms":$p50B,"p95_ms":$p95B,"n_queries":${latB.length}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_latency":$latency,"query_latency_budgeted":$latencyB}""")
+    val loadJson = loadTest.map(j => s""","load_test":$j""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_latency":$latency,"query_latency_budgeted":$latencyB$loadJson}""")
   }
 }
