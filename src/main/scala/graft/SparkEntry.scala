@@ -231,6 +231,11 @@ object SparkEntry {
     // exercises the min-distance cut AND the frequency-descending order.
     "sp1_spellcheck" -> ((s, dir) =>
       SuggestOps.spellCorrect(TextOps.termDf(docs(s, dir)), "fash")),
+    // su2: the composed endpoint — "window sor" lights the last-word-prefix
+    // stream (→ "window sort") and the spellcheck stream (same correction,
+    // kept as a duplicate exactly like the reference's concatenation).
+    "su2_suggest_compose" -> ((s, dir) =>
+      SuggestOps.suggestions(TextOps.termDf(docs(s, dir)), "window sor", 5)),
 
     // m1/m2: the assistant's instant-answer evaluators as column functions —
     // expression strings are BUILT in Spark and parsed/evaluated by EvalOps,
@@ -869,6 +874,30 @@ object SparkEntry {
          |      FROM t) u
          |ORDER BY lang, doc_id, chunk""".stripMargin
     },
+
+    "su2_suggest_compose" ->
+      s"""WITH $TokCte, tf AS (SELECT doc_id, term FROM tok WHERE term <> '' GROUP BY doc_id, term),
+         |dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |pre1 AS (SELECT term, df FROM dict
+         |         WHERE term LIKE 'window sor%' AND length(term) < 32 AND regexp_matches(term, '^[a-z0-9]+$$')
+         |         ORDER BY term LIMIT 256),
+         |s1 AS (SELECT 1 AS sno, row_number() OVER (ORDER BY df DESC, length(term), term) AS rn,
+         |       term AS suggestion
+         |       FROM (SELECT term, df FROM pre1 ORDER BY df DESC, length(term), term LIMIT 5)),
+         |pre2 AS (SELECT term, df FROM dict
+         |         WHERE term LIKE 'sor%' AND length(term) < 32 AND regexp_matches(term, '^[a-z0-9]+$$')
+         |         ORDER BY term LIMIT 256),
+         |s2 AS (SELECT 2 AS sno, row_number() OVER (ORDER BY df DESC, length(term), term) AS rn,
+         |       'window ' || term AS suggestion
+         |       FROM (SELECT term, df FROM pre2 ORDER BY df DESC, length(term), term LIMIT 5)),
+         |cand AS (SELECT term, df, damerau_levenshtein(term, 'sor') AS dist FROM dict
+         |         WHERE damerau_levenshtein(term, 'sor') <= 2),
+         |s3 AS (SELECT 3 AS sno, row_number() OVER (ORDER BY df DESC, term) AS rn,
+         |       'window ' || term AS suggestion
+         |       FROM cand WHERE dist = (SELECT min(dist) FROM cand))
+         |SELECT sno, rn, suggestion
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+         |ORDER BY sno, rn LIMIT 5""".stripMargin,
 
     "m1_math_eval" ->
       """SELECT l_orderkey, l_linenumber,

@@ -161,6 +161,50 @@ object SuggestOps {
   def spellCorrectBrute(dict: DataFrame, word: String, maxEdits: Int = MaxEdits): DataFrame =
     spellVerify(dict.select("term", "df"), word, maxEdits)
 
+  /** The COMPOSED suggestion endpoint (Suggestions.getSuggestions,
+    * Suggestions.java:73-125): three streams concatenated in order and
+    * capped at `count` —
+    *   1. the whole input as a prefix (with a single-token dictionary a
+    *      spaced input naturally matches nothing, as the reference's
+    *      multi-word trie would for an unknown phrase),
+    *   2. the last word as a prefix, re-prefixed with the untouched head
+    *      (`suggestionsForLastWord`, :90-102),
+    *   3. spelling corrections of the last word, same re-prefixing
+    *      (`spellCheckStream`, :104-125).
+    * Streams 1–2 carry their own `count` cap (the reference's
+    * getSuggestionsForKeyword limit, :149); the spell stream is uncapped
+    * until the final combined limit. Inputs shorter than MIN_SUGGEST_LENGTH
+    * yield nothing (:74). Duplicates across streams are kept — the
+    * reference does not dedupe. Output (sno, rn, suggestion) preserves the
+    * stream/rank provenance the concatenation order is defined by. */
+  def suggestions(dict: DataFrame, input: String, count: Int,
+                  minPrefixLen: Int = MinSuggestLength): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val searchWord = input.toLowerCase.replaceAll("^ +", "")
+    val prefixOrder = Seq(col("df").desc, length(col("term")).asc, col("term").asc)
+    val spellOrder = Seq(col("df").desc, col("term").asc)
+    def ranked(src: DataFrame, sno: Int, head: String, order: Seq[Column]): DataFrame =
+      src.withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+        .select(lit(sno).as("sno"), col("rn"),
+          concat(lit(head), col("term")).as("suggestion"))
+    def empty: DataFrame = dict
+      .select(lit(1).as("sno"), lit(1).as("rn"), col("term").as("suggestion"))
+      .where(lit(false))
+    if (searchWord.length < minPrefixLen) return empty
+    val sp = searchWord.lastIndexOf(' ')
+    val (head, last) =
+      if (sp < 0) ("", searchWord)
+      else (searchWord.substring(0, sp + 1), searchWord.substring(sp + 1))
+    val s1 = ranked(suggestPrefix(dict, searchWord, count, minPrefixLen = minPrefixLen),
+      1, "", prefixOrder)
+    val s2 = if (sp < 0) empty
+      else ranked(suggestPrefix(dict, last, count, minPrefixLen = minPrefixLen),
+        2, head, prefixOrder)
+    val s3 = if (last.length >= minPrefixLen) ranked(spellCorrect(dict, last), 3, head, spellOrder)
+      else empty
+    s1.unionByName(s2).unionByName(s3).orderBy("sno", "rn").limit(count)
+  }
+
   /** Typeahead suggestions: prefix-restricted dictionary walk capped at
     * `scanCap` lexicographically-first matches (the reference's trie
     * iteration order), re-ranked by (frequency DESC, length, term). The

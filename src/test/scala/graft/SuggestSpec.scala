@@ -116,6 +116,35 @@ class SuggestSpec extends AnyFunSuite {
     assert(SuggestOps.suggestPrefix(d, "sor", 10).count() === 1L)
   }
 
+  // ---- composed endpoint (Suggestions.getSuggestions) ----------------------
+
+  private def sugsOf(d: org.apache.spark.sql.DataFrame, q: String, k: Int) =
+    SuggestOps.suggestions(d, q, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+
+  test("composed suggestions: last-word prefix and spellcheck streams both fire, " +
+    "head preserved, duplicates kept (reference concatenation order)") {
+    val d = dictOf("sort" -> 388L, "sorting" -> 100L, "hash" -> 394L, "window" -> 387L)
+    // s1: 'window sor%' matches nothing; s2: sor% → sort, sorting;
+    // s3: spell 'sor' → min-distance {sort}; 'window sort' appears TWICE
+    assert(sugsOf(d, "window sor", 5) === Seq(
+      (2, 1, "window sort"), (2, 2, "window sorting"), (3, 1, "window sort")))
+  }
+
+  test("composed suggestions: no-space input uses streams 1 and 3, no stream 2") {
+    val d = dictOf("sort" -> 388L, "sorting" -> 100L)
+    assert(sugsOf(d, "sor", 5) === Seq(
+      (1, 1, "sort"), (1, 2, "sorting"), (3, 1, "sort")))
+  }
+
+  test("composed suggestions: final cap truncates across streams; short input empty") {
+    val d = dictOf("sort" -> 388L, "sorting" -> 100L, "sorted" -> 50L)
+    assert(sugsOf(d, "sor", 2) === Seq((1, 1, "sort"), (1, 2, "sorting")))
+    assert(sugsOf(d, "so", 5) === Seq.empty) // below MIN_SUGGEST_LENGTH=3
+    // last word below min length: streams 2 and 3 are silent
+    assert(sugsOf(d, "sorting x", 5) === Seq.empty)
+  }
+
   // ---- persisted snapshot artifacts (SuggestDict) --------------------------
 
   test("snapshot artifacts: suggest and spell serve from persisted tables, " +
