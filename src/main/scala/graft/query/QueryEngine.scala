@@ -160,7 +160,15 @@ object QueryEngine {
     * queries skip file listing and footer reads — the reference's
     * memory-mapped always-open readers (SearchIndexReader), Spark-style. */
   final class Index(val root: String, val manifest: Snapshots.Manifest,
-                    spark: SparkSession) {
+                    spark: SparkSession,
+                    /** Driver-cache budget in docs: handles of snapshots at or
+                      * under this size pin forward blocks / term stats / prio
+                      * directory on the driver (the reference holds its whole
+                      * index in RAM the same way). 0 = caches off — the
+                      * 10^12-doc serving tier, openable explicitly with
+                      * [[QueryEngine.openUncached]] so the big-index paths are
+                      * measurable on any snapshot (BENCH `query_latency_uncached`). */
+                    val cacheDocLimit: Long = 1L << 22) {
     def dir: String = Snapshots.stagingDir(root, manifest.snapshotId).toString
     lazy val termStats: DataFrame = spark.read.parquet(s"$dir/term_stats")
     lazy val postings: DataFrame = spark.read.parquet(s"$dir/postings")
@@ -181,7 +189,7 @@ object QueryEngine {
       * scale: the planner then fetches pruned forward blocks per query,
       * budgeted by [[fwdDir]]. */
     lazy val fwdRowCache: Option[Map[Long, org.apache.spark.sql.Row]] =
-      if (manifest.docCount <= (1L << 22))
+      if (manifest.docCount <= cacheDocLimit)
         Some(QueryEngine.fwdUnified(fwd).collect()
           .map(r => r.getLong(r.fieldIndex("doc_range")) -> r).toMap)
       else None
@@ -192,7 +200,7 @@ object QueryEngine {
       * anything is fetched). None at larger scale: the planner then runs a
       * tiny pruned directory job / falls back to optimistic bounds. */
     lazy val fwdDir: Option[Map[Long, QueryEngine.FwdDirEntry]] =
-      if ((manifest.docCount >> manifest.docRangeShift) <= (1L << 20))
+      if (cacheDocLimit > 0 && (manifest.docCount >> manifest.docRangeShift) <= (1L << 20))
         Some(fwd.select("doc_range", "n", "min_rank", "max_asl",
             "min_quality", "max_topology").collect()
           .map(r => r.getLong(0) -> QueryEngine.FwdDirEntry(r.getInt(1),
@@ -203,7 +211,7 @@ object QueryEngine {
       * same way. Removes BOTH planner metadata jobs from small-df queries:
       * selectivities and term liveness are answered without touching Spark. */
     lazy val statsCache: Option[Map[Long, (Long, Long)]] =
-      if (manifest.docCount <= (1L << 22))
+      if (manifest.docCount <= cacheDocLimit)
         Some(termStats.select("term_hash", "df_full", "df_prio").collect()
           .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap)
       else None
@@ -222,10 +230,21 @@ object QueryEngine {
       * posting scan by rank prefix the same way `near:` does. None at
       * larger scale — the kernel's per-doc filter still applies. */
     lazy val domainRankCache: Option[Map[Int, Int]] =
-      if (manifest.docCount <= (1L << 22))
+      if (manifest.docCount <= cacheDocLimit)
         Some(spark.read.parquet(s"$dir/documents")
           .select("domain_id", "rank").distinct()
           .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap)
+      else None
+    /** term_hash → REAL doc_ranges holding priority-tier postings, pinned on
+      * the driver alongside the other bounded caches — answers the budgeted
+      * path's champion-range lookup (reference two-tier gating,
+      * SearchIndex.java:112-132) without a Spark job. Row count is bounded by
+      * the prio tier's block count (≪ df_prio). None when the snapshot has no
+      * prio tier or the handle is uncached (the scan fallback remains). */
+    lazy val prioDirCache: Option[Map[Long, Array[Long]]] =
+      if (manifest.docCount <= cacheDocLimit)
+        prioPostings.map(_.select("term_hash", "doc_range").collect()
+          .groupBy(_.getLong(0)).map { case (h, rs) => h -> rs.map(_.getLong(1)) })
       else None
   }
 
@@ -248,6 +267,17 @@ object QueryEngine {
     val m = Snapshots.currentManifest(root).getOrElse(
       throw new IllegalStateException(s"no committed snapshot under $root"))
     new Index(root, m, spark)
+  }
+
+  /** Open with every driver cache OFF — the code paths a >4M-doc snapshot
+    * takes (per-query pruned stats / directory / forward jobs instead of
+    * pinned maps). Results are identical to a cached handle
+    * (RankIdentitySpec extends its path identity here); this exists so the
+    * big-index serving tier is measurable on any snapshot. */
+  def openUncached(root: String, spark: SparkSession): Index = {
+    val m = Snapshots.currentManifest(root).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot under $root"))
+    new Index(root, m, spark, cacheDocLimit = 0L)
   }
 
   /** Open a SPECIFIC snapshot by id — committed or merely staged. Staged
@@ -504,24 +534,8 @@ object QueryEngine {
     val numRanges = (docCount >> index.manifest.docRangeShift) + 1
     val dirShift = dirShiftFor(
       hashes.map(h => dfFull.getOrElse(h, 0L)), numRanges, spec.dirRowBudget)
-    // (term_hash, doc_range, n, max_pos_count): block directory — everything
-    // the WAND planner needs, no blobs; doc_range is the PLANNING range
-    // (real range >> dirShift)
-    def collectDir(): Array[org.apache.spark.sql.Row] = {
-      val dir =
-        if (dirShift == 0)
-          postings.select($"term_hash", $"doc_range", $"n", $"max_pos_count").collect()
-        else postings
-          .select($"term_hash",
-            shiftrightunsigned($"doc_range", dirShift).as("doc_range"),
-            $"n", $"max_pos_count")
-          .groupBy($"term_hash", $"doc_range")
-          .agg(sum($"n").cast("int").as("n"), max($"max_pos_count").as("max_pos_count"))
-          .select($"term_hash", $"doc_range", $"n", $"max_pos_count")
-          .collect()
-      QueryEngine.lastDirStats = (dirShift, dir.length)
-      dir
-    }
+    // (the block-directory collector is defined below, after the budgeted
+    // prefetch decision it depends on)
 
     // doc ranges of the rarest include term per subquery bound the candidate
     // universe (the reference orders terms by selectivity the same way,
@@ -621,13 +635,69 @@ object QueryEngine {
       return selectBest(runLocalKernel(postingRows, ranges, index.fwdRowCache.get), spec)
     }
 
+    // ---- budgeted single-fetch prefetch (VERDICT r3 task #2) ----------------
+    // A budgeted query on a cached handle whose candidate volume fits the
+    // SAME 16× cap the exact path enjoys fetches all of its posting blocks in
+    // ONE job up front; the directory/champion/batched-fetch machinery below
+    // then runs over the prefetched rows as driver-local slices — identical
+    // control flow, identical batching, identical results (OpsSpec asserts
+    // byte-identity against the job-per-batch path), but the number of Spark
+    // jobs drops to the exact path's one. Early termination still skips
+    // EVALUATION work; what it no longer buys is fetch volume — on a served
+    // snapshot the round-trips it was paying for dominated mid-size-query
+    // latency (BENCH_r03 budgeted p50 752 ms vs exact 172 ms).
+    val budgetedPrefetch: Option[Array[org.apache.spark.sql.Row]] =
+      if (spec.fetchBudget > 0 && !budgetCannotBite && !QueryEngine.disableBudgetedPrefetch &&
+          index.fwdRowCache.isDefined && totalDf <= spec.localEvalMaxPostings * 16)
+        Some(postings.select(unifiedPostingCols: _*).collect())
+      else None
+
+    // (term_hash, doc_range, n, max_pos_count): block directory — everything
+    // the WAND planner needs, no blobs; doc_range is the PLANNING range
+    // (real range >> dirShift). Prefetched queries derive it from the rows
+    // already on the driver; everyone else runs the pruned directory job.
+    def collectDir(): Array[QueryEngine.DirRow] = {
+      val dir = budgetedPrefetch match {
+        case Some(rows) =>
+          if (dirShift == 0)
+            rows.map(r => QueryEngine.DirRow(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+          else {
+            val m = new java.util.HashMap[(Long, Long), Array[Int]]()
+            rows.foreach { r =>
+              val k = (r.getLong(0), r.getLong(1) >>> dirShift)
+              val acc = m.computeIfAbsent(k, _ => Array(0, 0))
+              acc(0) += r.getInt(2)
+              acc(1) = math.max(acc(1), r.getInt(3))
+            }
+            val out = new Array[QueryEngine.DirRow](m.size())
+            var i = 0
+            m.forEach { (k, v) => out(i) = QueryEngine.DirRow(k._1, k._2, v(0), v(1)); i += 1 }
+            out
+          }
+        case None =>
+          val df0 =
+            if (dirShift == 0)
+              postings.select($"term_hash", $"doc_range", $"n", $"max_pos_count")
+            else postings
+              .select($"term_hash",
+                shiftrightunsigned($"doc_range", dirShift).as("doc_range"),
+                $"n", $"max_pos_count")
+              .groupBy($"term_hash", $"doc_range")
+              .agg(sum($"n").cast("int").as("n"), max($"max_pos_count").as("max_pos_count"))
+              .select($"term_hash", $"doc_range", $"n", $"max_pos_count")
+          df0.collect().map(r => QueryEngine.DirRow(r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      }
+      QueryEngine.lastDirStats = (dirShift, dir.length)
+      dir
+    }
+
     // ---- directory path (big queries / uncached handles) --------------------
     val blockDir = collectDir()
 
     // candidate universe: ranges of the rarest include term per subquery
     val rangeSet: java.util.HashSet[java.lang.Long] = {
       val hs = new java.util.HashSet[java.lang.Long]()
-      blockDir.foreach(r => if (rarestTerms.contains(r.getLong(0))) hs.add(r.getLong(1)))
+      blockDir.foreach(r => if (rarestTerms.contains(r.term)) hs.add(r.range))
       hs
     }
     if (rangeSet.isEmpty) return Nil
@@ -638,12 +708,12 @@ object QueryEngine {
     val termsByRange = new java.util.HashMap[Long, java.util.HashMap[Long, Int]]()
     val volByRange = new java.util.HashMap[Long, Long]()
     blockDir.foreach { r =>
-      val rg = r.getLong(1)
+      val rg = r.range
       if (rangeSet.contains(rg)) {
         var m = termsByRange.get(rg)
         if (m == null) { m = new java.util.HashMap[Long, Int](); termsByRange.put(rg, m) }
-        m.put(r.getLong(0), r.getInt(3))
-        volByRange.merge(rg, r.getInt(2).toLong, (a, b) => a + b)
+        m.put(r.term, r.maxPc)
+        volByRange.merge(rg, r.n.toLong, (a, b) => a + b)
       }
     }
 
@@ -695,7 +765,14 @@ object QueryEngine {
         planRangeCol(df) === col("plan_range"), "left_semi")
 
     def fetchPostings(rs: Array[Long]): Array[org.apache.spark.sql.Row] =
-      pruneToRanges(postings, rs).select(unifiedPostingCols: _*).collect()
+      budgetedPrefetch match {
+        case Some(rows) =>
+          val set = new java.util.HashSet[java.lang.Long](rs.length * 2)
+          rs.foreach(set.add(_))
+          rows.filter(r => set.contains(r.getLong(1) >>> dirShift))
+        case None =>
+          pruneToRanges(postings, rs).select(unifiedPostingCols: _*).collect()
+      }
 
     def fwdFor(rs: Array[Long]): collection.Map[Long, org.apache.spark.sql.Row] =
       index.fwdRowCache.getOrElse(
@@ -746,14 +823,21 @@ object QueryEngine {
       // scan of postings_prio (distinct planning ranges, no blobs).
       val championRanges: Set[Long] =
         if (!budgeted) Set.empty
-        else index.prioPostings match {
-          case Some(pp) =>
-            val rc =
-              if (dirShift == 0) col("doc_range")
-              else shiftrightunsigned(col("doc_range"), dirShift)
-            pp.where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
-              .select(rc.as("r")).distinct().collect().map(_.getLong(0)).toSet
-          case None => Set.empty
+        else index.prioDirCache match {
+          // pinned prio directory (cached handles): champion ranges are a
+          // driver-local lookup — no Spark job on the serving path
+          case Some(m) =>
+            hashes.iterator.flatMap(h => m.getOrElse(h, Array.empty[Long]).iterator)
+              .map(_ >>> dirShift).toSet
+          case None => index.prioPostings match {
+            case Some(pp) =>
+              val rc =
+                if (dirShift == 0) col("doc_range")
+                else shiftrightunsigned(col("doc_range"), dirShift)
+              pp.where($"bucket".isin(buckets: _*) && $"term_hash".isin(hashes: _*))
+                .select(rc.as("r")).distinct().collect().map(_.getLong(0)).toSet
+            case None => Set.empty
+          }
         }
       QueryEngine.lastChampionRanges = championRanges.size
       var rest: Array[RInfo] =
@@ -826,6 +910,15 @@ object QueryEngine {
       .collect()
     selectBest(candidates, spec)
   }
+
+  /** One block-directory entry: (term, planning range, postings, block-max
+    * position count) — the planner's view of one posting block. */
+  private[query] final case class DirRow(term: Long, range: Long, n: Int, maxPc: Int)
+
+  /** Test hook: force budgeted queries down the job-per-batch directory path
+    * even when the single-fetch prefetch applies, so OpsSpec can assert the
+    * two paths return identical results. */
+  @volatile private[graft] var disableBudgetedPrefetch: Boolean = false
 
   /** Diagnostics for specs: (dirShift, directory rows collected) by the most
     * recent directory-path query in this JVM. */

@@ -161,6 +161,59 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("budgeted single-fetch path: identical results, no more jobs than exact") {
+    import graft.build.{IndexBuilder, IndexConf}
+    import graft.fixtures.Fixtures
+    import graft.query.{QueryEngine, QueryParser}
+    val root = java.nio.file.Files.createTempDirectory("budget-idx").toString
+    IndexBuilder.buildFromCorpus(spark, Fixtures.tinyCorpus(spark).toDF(), root, "snap-1",
+      IndexConf(numBuckets = 8, docRangeShift = 6, buildPrioTier = true))
+    val idx = QueryEngine.open(root)
+    // materialize the handle's pinned caches before any job counting
+    assert(idx.fwdRowCache.isDefined && idx.statsCache.isDefined &&
+      idx.fwdDir.isDefined && idx.prioDirCache.isDefined)
+    def key(rs: Seq[graft.query.SearchResult]) =
+      rs.map(r => (r.url_id, r.domain_id, r.ranking, r.has_priority_term, r.score,
+        r.results_from_domain))
+    val queries = Seq("tok000", "tok000 tok001", "tok002 ?rl_3_0", "f64 tok002")
+    // 1) identity: the single-fetch prefetch must reproduce the job-per-batch
+    //    directory path EXACTLY (same champion ordering, same batch cuts,
+    //    same early termination) — localEvalMaxPostings lowered so the budget
+    //    genuinely bites and multiple batches run
+    queries.foreach { q =>
+      val spec = QueryParser.parse(q).copy(localEvalMaxPostings = 64L, fetchBudget = 32L)
+      val fast = key(QueryEngine.search(spark, idx, spec))
+      QueryEngine.disableBudgetedPrefetch = true
+      val slow = try key(QueryEngine.search(spark, idx, spec))
+      finally QueryEngine.disableBudgetedPrefetch = false
+      assert(fast === slow, s"prefetch vs directory path for '$q'")
+    }
+    // 2) job budget (VERDICT r3 task #2 done-criterion): at SERVING settings
+    //    (default spec), a budgeted query must launch no more Spark jobs
+    //    than the same query in exact mode
+    class JobCounter extends org.apache.spark.scheduler.SparkListener {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    def jobsDuring(f: => Unit): Int = {
+      val l = new JobCounter
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(400); l.n.get } // listener bus drains async
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    queries.foreach { q =>
+      val base = QueryParser.parse(q)
+      QueryEngine.search(spark, idx, base) // warm any lazy plan state
+      val exactJobs = jobsDuring(QueryEngine.search(spark, idx, base))
+      val budgetedJobs = jobsDuring(
+        QueryEngine.search(spark, idx, base.copy(fetchBudget = 8192L)))
+      assert(budgetedJobs <= exactJobs,
+        s"'$q': budgeted launched $budgetedJobs jobs > exact's $exactJobs")
+    }
+  }
+
   test("stubbed media embeddings feed the ANN ops end-to-end") {
     val docs = chainDocs
     val emb = MultiModalOps.extractEmbeddings(spark, docs).toDF()

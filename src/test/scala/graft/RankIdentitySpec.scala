@@ -208,4 +208,28 @@ class RankIdentitySpec extends AnyFunSuite {
     val nonEmpty = specs.count { case (_, s) => BruteOracle.run(s).nonEmpty }
     assert(nonEmpty >= 24, s"only $nonEmpty/32 queries returned results")
   }
+
+  test("uncached handle (>4M-doc serving tier) is rank-identical to the cached handle") {
+    // the SAME snapshot opened with every driver cache off — the code paths a
+    // 10^12-doc index takes: per-query pruned stats job, directory job,
+    // pruned forward fetches. Results must match the cached handle (and so
+    // the oracle) exactly, including budgeted mode.
+    val uncached = QueryEngine.openUncached(index.root, spark)
+    assert(uncached.fwdRowCache.isEmpty && uncached.statsCache.isEmpty &&
+      uncached.fwdDir.isEmpty && uncached.prioDirCache.isEmpty &&
+      uncached.domainRankCache.isEmpty)
+    val sample = Seq("tok000", "tok000 tok001", "f32 tok002", "tok002 -rl_0_0",
+      "tok004 ?rl_4_0", "\"alpha beta\" tok000", "lang:scala tok003", "tok005 q<9")
+    sample.foreach { q =>
+      val spec = QueryParser.parse(q, limitByDomain = 10, limitTotal = 10)
+      def key(rs: Seq[SearchResult]) =
+        rs.map(r => (r.url_id, r.domain_id, r.ranking, r.has_priority_term, r.score))
+      val cachedR = key(QueryEngine.search(spark, index, spec))
+      val uncachedR = key(QueryEngine.search(spark, uncached, spec))
+      assert(uncachedR === cachedR, s"uncached vs cached for '$q'")
+      val cachedB = key(QueryEngine.search(spark, index, spec.copy(fetchBudget = 8192L)))
+      val uncachedB = key(QueryEngine.search(spark, uncached, spec.copy(fetchBudget = 8192L)))
+      assert(uncachedB === cachedB, s"uncached vs cached budgeted for '$q'")
+    }
+  }
 }
