@@ -168,6 +168,14 @@ object Bench {
 
   private def timedBuild(spark: SparkSession, corpusPath: String, nDocs: Long,
                          root: String): Double = {
+    // Size the index shuffle to the DATA, not the core count: at ~50 postings
+    // per doc a 2.1M-doc corpus puts ~13M postings in each of 8 tasks and the
+    // 8-thread side's concurrent sorts cross the spill threshold (measured
+    // round 3: hi side 12.8k vs 23.1k docs/s, efficiency 0.64). One partition
+    // per ~64k docs keeps per-task sort volume flat as the corpus grows —
+    // the same rule a real cluster applies by scaling executor count.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(spark.sparkContext.defaultParallelism, ((nDocs >> 16) + 1).toInt).toString)
     val t0 = System.nanoTime()
     // (bucket, docRange) salting: the bench corpus's small vocabulary hashes
     // into only ~18 of 32 buckets and Zipf head terms skew those — measured
@@ -283,15 +291,15 @@ object Bench {
     val busEqualize = sys.env.contains("SPARK_GRAFT_BUS_EQUALIZE")
     val childJvm = sys.env.contains("SPARK_GRAFT_CHILD_JVM")
     var rootHi = ""
-    def sideBuild(cores: Int, root: String): Double = {
+    def sideBuild(cores: Int, root: String, corpus: String, n: Long): Double = {
       val hogs = if (busEqualize && cores == lowCores) startHogs(lowCores, highCores) else Nil
       try {
-        if (childJvm) childBuild(cores, corpusPath, nDocs, root)
+        if (childJvm) childBuild(cores, corpus, n, root)
         else {
           val s = session(cores)
           s.sparkContext.setLogLevel("ERROR")
           if (pinCores) setAffinity(cores)
-          val v = timedBuild(s, corpusPath, nDocs, root)
+          val v = timedBuild(s, corpus, n, root)
           if (pinCores) setAffinity(allCores)
           s.stop() // one session per side: getOrCreate ignores a new master
           v
@@ -301,16 +309,47 @@ object Bench {
     // ABBA ordering: odd pairs run (lo, hi), even pairs (hi, lo), so any
     // residual monotone drift (JIT tail, page cache, VM thermal state)
     // flatters each side in half the pairs and cancels in the median.
-    val pairResults = (1 to pairs).map { i =>
-      rootHi = s"$work/idx-hi-$i"
-      if (i % 2 == 1) {
-        val lo = sideBuild(lowCores, s"$work/idx-lo-$i")
-        (lo, sideBuild(highCores, rootHi))
-      } else {
-        val hi = sideBuild(highCores, rootHi)
-        (sideBuild(lowCores, s"$work/idx-lo-$i"), hi)
+    def runPairs(tag: String, corpus: String, n: Long, nPairs: Int): IndexedSeq[(Double, Double)] =
+      (1 to nPairs).map { i =>
+        if (i % 2 == 1) {
+          val lo = sideBuild(lowCores, s"$work/idx-lo-$tag-$i", corpus, n)
+          (lo, sideBuild(highCores, s"$work/idx-hi-$tag-$i", corpus, n))
+        } else {
+          val hi = sideBuild(highCores, s"$work/idx-hi-$tag-$i", corpus, n)
+          (sideBuild(lowCores, s"$work/idx-lo-$tag-$i", corpus, n), hi)
+        }
       }
-    }
+    val pairResults = runPairs("1m", corpusPath, nDocs, pairs)
+    if (pairResults.nonEmpty) rootHi = s"$work/idx-hi-1m-$pairs"
+
+    // ---- 2b. scaling past the round-3 spill cliff (VERDICT r3 task #6) ------
+    // The SAME criterion at 2M docs — the size whose 32-partition shuffle
+    // collapsed the 8-thread side on per-task sort spill in round 3. With the
+    // data-sized shuffle above the section must hold ≥0.8 like the 1M one.
+    // Fewer pairs by default (each 2M lo-side build is ~2× the 1M one);
+    // SPARK_GRAFT_BENCH_PAIRS_2M overrides, 0 skips.
+    val pairs2m = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS_2M",
+      if (pairs == 0) "0" else "2").toInt
+    val nDocs2m = 512L * 4096L
+    val pair2mResults =
+      if (pairs2m == 0) IndexedSeq.empty[(Double, Double)]
+      else {
+        val corpus2m = s"$work/corpus2m"
+        locally {
+          val s = session(suiteCores)
+          s.sparkContext.setLogLevel("ERROR")
+          Fixtures.corpus(s, 512, 4096).toDF().write.mode("overwrite").parquet(corpus2m)
+          s.stop()
+        }
+        val r = runPairs("2m", corpus2m, nDocs2m, pairs2m)
+        // reclaim the 2M corpus + indexes immediately (tmpfs headroom)
+        (1 to pairs2m).foreach { i =>
+          try rm(java.nio.file.Paths.get(s"$work/idx-lo-2m-$i")) catch { case _: Throwable => }
+          try rm(java.nio.file.Paths.get(s"$work/idx-hi-2m-$i")) catch { case _: Throwable => }
+        }
+        try rm(java.nio.file.Paths.get(corpus2m)) catch { case _: Throwable => }
+        r
+      }
     // Robust paired estimator (VERDICT r2 "what's wrong #2"): a slow episode
     // scales BOTH sides of an adjacent (lo, hi) pair, so each pair's ratio
     // survives it; the published efficiency is the MEDIAN of the per-pair
@@ -323,8 +362,6 @@ object Bench {
       else if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
     }
-    val loDps = median(pairResults.map(_._1))
-    val hiDps = median(pairResults.map(_._2))
     // pairs=0 (suite/latency-only smoke): no timed build ran, so point the
     // query section at the warm-up index instead of a never-written root
     if (pairResults.isEmpty) rootHi = s"$work/warm-idx"
@@ -334,13 +371,22 @@ object Bench {
     sparkHi.sparkContext.setLogLevel("ERROR")
 
     // ---- 3. query latency over the reference set ----------------------------
+    // Per-query MEDIAN of 3 runs (VERDICT r3 task #1): this VM's minutes-long
+    // hypervisor episodes inflated round 3's single-sample tail to a recorded
+    // p95 of 2477 ms while back-to-back runs measured 270-320 ms; the suite
+    // section has resampled for the same reason since round 2. The median is
+    // per QUERY, so one episode-hit sample never reaches the percentiles.
+    def median3(f: => Unit): Double = {
+      val xs = Array.fill(3) {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      xs.sorted.apply(1)
+    }
     val idx = QueryEngine.open(rootHi)
     val specs = refQueries.map(q => QueryParser.parse(q, limitByDomain = 10, limitTotal = 10))
     specs.take(4).foreach(QueryEngine.search(sparkHi, idx, _)) // warm
     val latByQuery = refQueries.zip(specs).map { case (q, s) =>
-      val t0 = System.nanoTime()
-      QueryEngine.search(sparkHi, idx, s)
-      q -> (System.nanoTime() - t0) / 1e6
+      q -> median3(QueryEngine.search(sparkHi, idx, s))
     }
     if (sys.env.contains("SPARK_GRAFT_LAT_DETAIL"))
       latByQuery.sortBy(-_._2).foreach { case (q, ms) =>
@@ -354,12 +400,20 @@ object Bench {
     // (unbudgeted) numbers above remain the headline.
     val latB = specs.map { s =>
       val sb = s.copy(fetchBudget = 8192L)
-      val t0 = System.nanoTime()
-      QueryEngine.search(sparkHi, idx, sb)
-      (System.nanoTime() - t0) / 1e6
+      median3(QueryEngine.search(sparkHi, idx, sb))
     }.toArray.sorted
     val p50B = percentile(latB, 0.50)
     val p95B = percentile(latB, 0.95)
+    // uncached-tier latency (VERDICT r3 task #8): the same index served
+    // through a handle with every driver cache off — the code paths a >4M-doc
+    // snapshot takes (per-query pruned stats + directory + forward jobs).
+    // Same query set, same median-of-3.
+    val idxU = QueryEngine.openUncached(rootHi, sparkHi)
+    specs.take(4).foreach(QueryEngine.search(sparkHi, idxU, _)) // warm
+    val latU = specs.map(s => median3(QueryEngine.search(sparkHi, idxU, s)))
+      .toArray.sorted
+    val p50U = percentile(latU, 0.50)
+    val p95U = percentile(latU, 0.95)
 
     // ---- 3b. load test (opt-in, SPARK_GRAFT_LOADTEST=N): the reference's
     // only perf tool fires 10k random 3-common-word queries at a local
@@ -380,24 +434,29 @@ object Bench {
     }
     sparkHi.stop()
 
-    val efficiency = math.min(1.0, median(pairResults.map { case (lo, hi) =>
-      (hi / lo) / (highCores.toDouble / lowCores)
+    def effOf(prs: Seq[(Double, Double)]): Double = math.min(1.0, median(prs.map {
+      case (lo, hi) => (hi / lo) / (highCores.toDouble / lowCores)
     }))
+    val efficiency = effOf(pairResults)
     try rm(work) catch { case _: Throwable => }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val pairsJson = pairResults.map { case (lo, hi) =>
-      s"""{"lo":$lo,"hi":$hi,"eff":${(hi / lo) / (highCores.toDouble / lowCores)}}"""
-    }.mkString("[", ",", "]")
     def jnum(x: Double): String = if (x.isNaN) "null" else x.toString
-    val scaling =
-      s"""{"docs":$nDocs,"cores_low":$lowCores,"cores_high":$highCores,""" +
-      s""""docs_per_sec_low":${jnum(loDps)},"docs_per_sec_high":${jnum(hiDps)},"efficiency":${jnum(efficiency)},""" +
-      s""""child_jvm":$childJvm,"pinned":$pinCores,"bus_equalized":$busEqualize,"pairs":$pairsJson}"""
-    val latency = s"""{"p50_ms":$p50,"p95_ms":$p95,"n_queries":${lat.length}}"""
-    val latencyB = s"""{"p50_ms":$p50B,"p95_ms":$p95B,"n_queries":${latB.length}}"""
+    def scalingJson(prs: Seq[(Double, Double)], n: Long): String = {
+      val pj = prs.map { case (lo, hi) =>
+        s"""{"lo":$lo,"hi":$hi,"eff":${(hi / lo) / (highCores.toDouble / lowCores)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"docs":$n,"cores_low":$lowCores,"cores_high":$highCores,""" +
+      s""""docs_per_sec_low":${jnum(median(prs.map(_._1)))},"docs_per_sec_high":${jnum(median(prs.map(_._2)))},"efficiency":${jnum(effOf(prs))},""" +
+      s""""child_jvm":$childJvm,"pinned":$pinCores,"bus_equalized":$busEqualize,"pairs":$pj}"""
+    }
+    val scaling = scalingJson(pairResults, nDocs)
+    val scaling2m = scalingJson(pair2mResults, nDocs2m)
+    val latency = s"""{"p50_ms":$p50,"p95_ms":$p95,"n_queries":${lat.length},"samples_per_query":3,"estimator":"median"}"""
+    val latencyB = s"""{"p50_ms":$p50B,"p95_ms":$p95B,"n_queries":${latB.length},"samples_per_query":3,"estimator":"median"}"""
+    val latencyU = s"""{"p50_ms":$p50U,"p95_ms":$p95U,"n_queries":${latU.length},"samples_per_query":3,"estimator":"median"}"""
     val loadJson = loadTest.map(j => s""","load_test":$j""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"query_latency":$latency,"query_latency_budgeted":$latencyB$loadJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_2m":$scaling2m,"query_latency":$latency,"query_latency_budgeted":$latencyB,"query_latency_uncached":$latencyU$loadJson}""")
   }
 }
