@@ -329,7 +329,7 @@ object Bench {
     // Fewer pairs by default (each 2M lo-side build is ~2× the 1M one);
     // SPARK_GRAFT_BENCH_PAIRS_2M overrides, 0 skips.
     val pairs2m = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS_2M",
-      if (pairs == 0) "0" else "2").toInt
+      if (pairs == 0) "0" else "3").toInt
     val nDocs2m = 512L * 4096L
     val pair2mResults =
       if (pairs2m == 0) IndexedSeq.empty[(Double, Double)]

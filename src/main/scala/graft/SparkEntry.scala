@@ -483,6 +483,28 @@ object SparkEntry {
         .select(col("url_id")).orderBy("url_id")
     }),
 
+    // Q3 POS-driven re-segmentation end-to-end (VERDICT r3 task #3,
+    // reference permuteQueriesNew → QueryVariants.getQueryVariants): on the
+    // ngram index, the query [stream, a, window] is re-segmented by the POS
+    // tiling — 'a' is a determiner (no keyword span, no joiner), so the one
+    // faithful segmentation is [stream, window] and docs WITHOUT the literal
+    // 'a' match. The default machinery cannot produce this ('a' is not in
+    // the omittable-word list; pair-join variants require adjacency), which
+    // QueryVariantsSpec asserts; the oracle is the conjunction the variant
+    // union provably reduces to.
+    "q_resegment" -> ((s, dir) => {
+      val root = cachedSnapshot(dir, "spans-ngram") { r =>
+        IndexBuilder.buildFromJournal(s, plainJournal(s, dir, spans = true), r, "snap-1",
+          IndexConf(numBuckets = 16, docRangeShift = 8, ngrams = true))
+      }
+      val idx = QueryEngine.open(root, s)
+      QueryEngine.searchDF(s, idx, QuerySpec(
+        subqueries = Seq(Subquery(include = Seq("stream", "a", "window"))),
+        limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue,
+        posSegments = true))
+        .select(col("url_id")).orderBy("url_id")
+    }),
+
     // `near:` neighborhood restriction end-to-end (reference
     // DbNearDomainsQuery): 16 domains (doc_id % 16), deterministic repo
     // links i → (i+1)%16 and i → (i+5)%16; near:repo3's neighborhood is
@@ -1297,6 +1319,16 @@ object SparkEntry {
          |JOIN p r ON r.doc_id = p.doc_id AND r.i = p.i + 2
          |WHERE p.term = 'window' AND q.term = 'fast' AND r.term = 'query'
          |ORDER BY 1""".stripMargin,
+
+    // q_resegment: the POS tiling drops the determiner, so the match set is
+    // exactly (stream AND window) — span variants are contiguity-restricted
+    // subsets of it.
+    "q_resegment" ->
+      s"""WITH $TokCte,
+         |s AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'stream'),
+         |w AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'window')
+         |SELECT CAST(doc_id AS INTEGER) AS url_id FROM s JOIN w USING (doc_id)
+         |ORDER BY url_id""".stripMargin,
 
     // n1_near: docs containing 'spark' whose domain (doc_id % 16) is in
     // repo3's link neighborhood {3} ∪ out {4, 8} ∪ in {2, 14} — the links

@@ -111,7 +111,14 @@ final case class QuerySpec(
     /** df gate for morphological last-word variants — the reference admits a
       * variant when its term frequency exceeds 100
       * (EnglishDictionary.getWordVariants, EnglishDictionary.java:44-56). */
-    morphDfGate: Long = 100L)
+    morphDfGate: Long = 100L,
+    /** Q3 POS-driven re-segmentation (reference permuteQueriesNew,
+      * QueryPermutation.java:72-134): eligible subqueries are REPLACED by the
+      * faithful re-segmentations of [[PosSegments]] — multi-word spans become
+      * '_'-joined n-gram terms, glue words may drop. Needs an ngram index;
+      * off by default (it widens the variant set, so turn it on for
+      * natural-language query workloads). */
+    posSegments: Boolean = false)
 
 /** One ranked result. Ordering replicates the reference comparator chain
   * (IndexQueryService.selectBestResults:252-282 +
@@ -150,10 +157,8 @@ final case class SearchResult(
 object QueryEngine {
 
   /** Glue words the reference's primary faithful query variant omits
-    * (QueryVariants.isOmittableWord:205-210, transcribed list). */
-  private val OmittableWords: Set[String] = Set(
-    "vs", "or", "and", "versus", "is", "the", "why", "when", "if", "who",
-    "are", "am")
+    * (QueryVariants.isOmittableWord:205-210) — shared with PosSegments. */
+  private val OmittableWords: Set[String] = PosSegments.OmittableWords
 
   /** Loaded handle on one snapshot. The table DataFrames are created once per
     * handle: Spark caches the parquet FileIndex inside the plan, so repeated
@@ -396,9 +401,15 @@ object QueryEngine {
     // Dead variants (term never indexed) are dropped by the planner's
     // liveness check; the identity variant is always retained.
     val spec: QuerySpec = {
+      // posSegments replaces the omit + pair-join machinery for eligible
+      // subqueries (permuteQueriesNew supersedes permuteQueries the same
+      // way, QueryPermutation.java:92-99); the identity subquery is kept
+      // here and swapped for the re-segmentations once stats are priced.
+      def posReplaced(sq: Subquery): Boolean =
+        spec0.posSegments && index.manifest.ngrams && PosSegments.eligible(sq)
       val withOmit = withSpans.flatMap { sq =>
         val kept = sq.include.filterNot(OmittableWords)
-        if (sq.coherences.isEmpty && kept.nonEmpty && kept.size < sq.include.size)
+        if (!posReplaced(sq) && sq.coherences.isEmpty && kept.nonEmpty && kept.size < sq.include.size)
           Seq(sq.copy(include = kept), sq)
         else Seq(sq)
       }
@@ -407,7 +418,7 @@ object QueryEngine {
         else withOmit.flatMap { sq =>
           val inc = sq.include
           val variants =
-            if (inc.size < 2 || inc.size > 5 || sq.coherences.nonEmpty) Nil
+            if (posReplaced(sq) || inc.size < 2 || inc.size > 5 || sq.coherences.nonEmpty) Nil
             else (0 until math.min(inc.size - 1, 23)).map { i =>
               val joined = stored(inc(i)) + "_" + stored(inc(i + 1))
               sq.copy(include = inc.patch(i, Seq(joined), 2))
@@ -423,8 +434,13 @@ object QueryEngine {
     // postings scan is built AFTER gating from live subqueries only, so
     // rejected candidates never widen the scan.
     val q3Candidates: Seq[String] = Q3Variants.candidateTerms(spec.subqueries)
+    def joinStored(parts: Seq[String]): String = parts.map(stored).mkString("_")
+    val posCandidates: Seq[String] =
+      if (!spec.posSegments || !index.manifest.ngrams) Nil
+      else PosSegments.candidateSpanTerms(spec.subqueries, joinStored)
     val allTerms: Seq[String] = (spec.subqueries.flatMap(sq =>
-      sq.include ++ sq.exclude ++ sq.priority ++ sq.advice) ++ q3Candidates).distinct
+      sq.include ++ sq.exclude ++ sq.priority ++ sq.advice) ++ q3Candidates ++
+      posCandidates).distinct
     if (allTerms.isEmpty || spec.subqueries.forall(_.include.isEmpty)) return Nil
     // query terms must hash to the index's stored form: when the snapshot was
     // built with Porter stemming (C2), stem everything except synthetic
@@ -479,13 +495,31 @@ object QueryEngine {
     val withGated: Seq[Subquery] = {
       def dfOf(t: String): Long =
         termHash.get(t).map(h => dfFull.getOrElse(h, 0L)).getOrElse(0L)
-      val gated = Q3Variants.expand(spec.subqueries, dfOf, spec.morphDfGate)
+      // POS re-segmentation (Q3's last gap, VERDICT r3 task #3): eligible
+      // subqueries are replaced by their faithful re-segmentations, now that
+      // the one stats lookup above can price variants (value sort) — the
+      // reference's permuteQueriesNew shape. Variant values are computed
+      // over the RAW word parts; spans are then mapped to the index's stored
+      // (stemmed-joined) form. Empty segmentations fall back to the original
+      // subquery, like the reference falls back to its old permute code.
+      val withPos: Seq[Subquery] =
+        if (!spec.posSegments || !index.manifest.ngrams) spec.subqueries
+        else spec.subqueries.flatMap { sq =>
+          if (!PosSegments.eligible(sq)) Seq(sq)
+          else {
+            val segs = PosSegments.segmentations(sq.include, dfOf)
+            if (segs.isEmpty) Seq(sq)
+            else segs.map(terms => sq.copy(include = terms.map(t =>
+              if (t.contains("_")) joinStored(t.split('_').toIndexedSeq) else t)))
+          }
+        }
+      val gated = Q3Variants.expand(withPos, dfOf, spec.morphDfGate)
       def sig(sq: Subquery) =
         (sq.include.map(termHash).sorted, sq.exclude.map(termHash).sorted,
          sq.priority.map(termHash).sorted, sq.advice.map(termHash).sorted,
          sq.coherences.map(_.map(termHash)))
-      val seen = scala.collection.mutable.Set(spec.subqueries.map(sig): _*)
-      spec.subqueries ++ gated.filter(v => seen.add(sig(v)))
+      val seen = scala.collection.mutable.Set(withPos.map(sig): _*)
+      withPos.distinct ++ gated.filter(v => seen.add(sig(v)))
     }
 
     // a subquery whose include term is absent can never match (reference

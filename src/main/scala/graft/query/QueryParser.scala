@@ -38,8 +38,10 @@ import graft.analysis.Tokenizer
   * expansion, identity variant always first): on n-gram indexes each
   * adjacent include pair spawns a joined-span variant subquery, and every
   * query gains the df-gated dash-combine / num-split / morphological
-  * last-word variants (Q3Variants). The only reference variant family not
-  * reproduced is POS-driven span segmentation (needs the POS model, K2).
+  * last-word variants (Q3Variants), and — on ngram indexes, behind
+  * `QuerySpec.posSegments` — the POS-driven re-segmentation variants
+  * (PosSegments, the reference's permuteQueriesNew family with a
+  * deterministic tagger standing in for the RDR POS model).
   */
 object QueryParser {
 

@@ -172,4 +172,101 @@ class QueryVariantsSpec extends AnyFunSuite {
     val split = Q3Variants.variantValue(Seq("rare_common"), df)
     assert(split < common)
   }
+
+  // ---- POS-driven re-segmentation (VERDICT r3 task #3) ----------------------
+  // Expected sets are hand-derived from the reference machinery
+  // (QueryVariants.getQueryVariants:71-152 + KeywordExtractor
+  // .getKeywordsFromSentence:107-177 + getWordSpans:274-326) under the
+  // deterministic tagger, on the query shapes the reference's own
+  // QueryVariantsTest.java:31-69 exercises.
+
+  private def segs(q: String): Set[Seq[String]] =
+    PosSegments.segmentations(q.split(" ").toIndexedSeq, _ => 0L).toSet
+
+  test("two content words: identity + joined span (reference 'mechanical keyboard')") {
+    assert(segs("mechanical keyboard") ===
+      Set(Seq("mechanical", "keyboard"), Seq("mechanical_keyboard")))
+    assert(segs("plato apology") === Set(Seq("plato", "apology"), Seq("plato_apology")))
+  }
+
+  test("DT + joiner re-segmentation (reference 'The Man of Tomorrow')") {
+    // 'of' is a joiner inside a proper-noun 3-span; 'the' only enters via
+    // first-word elongation and is then dropped as omittable glue
+    assert(segs("the man of tomorrow") === Set(
+      Seq("man", "tomorrow"),          // glue skipped by the ceiling-jump tiling
+      Seq("man_of_tomorrow"),          // joiner-in-middle 3-span
+      Seq("the_man", "tomorrow"),      // elongated first word
+      Seq("the_man_of_tomorrow")))     // elongated to the span end
+  }
+
+  test("trailing stopword blocks all tilings -> fallback (reference 'salt lake city')") {
+    // 'city' is in the reference's own stopword list: no span can END the
+    // sentence, goodSpans is empty, and the reference falls back to its old
+    // permute code — we fall back to the original subquery the same way
+    assert(segs("salt lake city") === Set.empty)
+  }
+
+  test("number joins names (reference 'Raspberry Pi 2')") {
+    assert(segs("raspberry pi 2") === Set(
+      Seq("raspberry", "pi", "2"), Seq("raspberry", "pi_2"),
+      Seq("raspberry_pi", "2"), Seq("raspberry_pi_2")))
+  }
+
+  test("coerced pronouns and be-verbs (reference 'we are alone', 'The internet is dead')") {
+    // 'are' is NNP after coercion (V-tag) but keeps its stopword bit: never a
+    // span by itself, still a valid proper-noun-span interior
+    assert(segs("we are alone") === Set(Seq("we", "alone"), Seq("we_are_alone")))
+    assert(segs("the internet is dead") === Set(
+      Seq("internet", "dead"), Seq("internet_is_dead"),
+      Seq("the_internet", "dead"), Seq("the_internet_is_dead")))
+  }
+
+  test("single word passes through; value sort puts rarer variants first") {
+    assert(segs("dos") === Set(Seq("dos")))
+    // with real dfs the joined span (rare) sorts before the split pair
+    val df = Map("mechanical" -> 1000L, "keyboard" -> 1000L,
+      "mechanical_keyboard" -> 5L).withDefaultValue(0L)
+    val ordered = PosSegments.segmentations(Seq("mechanical", "keyboard"), df)
+    assert(ordered.head === Seq("mechanical_keyboard"))
+  }
+
+  // ---- engine wiring: posSegments replaces the variant machinery ------------
+
+  private def journal3 = {
+    import spark.implicits._
+    def row(id: Int, words: Seq[String]): JournalRow = JournalRow(
+      doc_id = DocId.combine(1, id), url_id = id, domain_id = 1,
+      rank = DocMeta.UnknownRank, doc_meta = 0L, length = words.length,
+      repo = "r", path = s"d$id", commit = "", lang = "",
+      content_sha256 = "",
+      keywords = words.map(w =>
+        KeywordRow(w, WordMeta.encode(2L, WordFlags.Title), 1)).toArray)
+    // doc 1 holds the full phrase incl. its 2-/3-gram spans (an ngram build);
+    // doc 2 holds stream+window WITHOUT the determiner; doc 3 lacks window
+    Seq(
+      row(1, Seq("stream", "a", "window", "stream_a", "a_window", "stream_a_window")),
+      row(2, Seq("stream", "window", "stream_window")),
+      row(3, Seq("stream", "a", "stream_a"))).toDF()
+  }
+
+  private lazy val index3: QueryEngine.Index = {
+    val root = Files.createTempDirectory(java.nio.file.Paths.get("target"), "qvar3").toString
+    IndexBuilder.buildFromJournal(spark, journal3, root, "snap-1",
+      IndexConf(numBuckets = 4, docRangeShift = 4, ngrams = true))
+    QueryEngine.open(root, spark)
+  }
+
+  test("posSegments drops the non-omittable determiner via re-segmentation") {
+    def run(pos: Boolean): Set[Int] =
+      QueryEngine.search(spark, index3, QuerySpec(
+        subqueries = Seq(Subquery(include = Seq("stream", "a", "window"))),
+        limitByDomain = Int.MaxValue, limitTotal = Int.MaxValue,
+        posSegments = pos)).map(_.url_id).toSet
+    // default machinery: 'a' is NOT omittable — identity needs the literal
+    // token, pair variants need adjacency; doc 2 can't match
+    assert(run(pos = false) === Set(1))
+    // POS tiling: DT is no joiner and no span — [stream, window] is the one
+    // faithful segmentation, so doc 2 (no 'a' at all) now matches
+    assert(run(pos = true) === Set(1, 2))
+  }
 }
