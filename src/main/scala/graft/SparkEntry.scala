@@ -272,6 +272,37 @@ object SparkEntry {
       DedupOps.jaccardVerify(d, DedupOps.lshCandidatePairs(d), 0.5)
     }),
     "d7_span_dedup" -> ((s, dir) => DedupOps.duplicateSpans(docs(s, dir), 8)),
+    // d9: the BUILD-TIME fingerprint column (VERDICT r3 task #7 — reference
+    // EasyLSH per-doc hash at conversion time). The corpus is the documents
+    // table plus near-dup twins (every 10th doc with one appended token);
+    // the slot builds a real snapshot, then flags near-dup pairs from the
+    // PERSISTED documents.fingerprint column alone — text is never re-read.
+    // The brute pair join is the idBound-capped oracle twin (≈550 docs);
+    // at scale, band the 60 bits like d2b's MinHash bands.
+    "d9_fingerprint_dups" -> ((s, dir) => {
+      val root = cachedSnapshot(dir, "corpus-fp") { r =>
+        val d = docs(s, dir)
+        def corpusOf(df: DataFrame, idCol: org.apache.spark.sql.Column,
+                     contentCol: org.apache.spark.sql.Column) = df.select(
+          concat(lit("repo"), pmod(col("doc_id"), lit(16))).as("repo"),
+          concat(lit("doc/"), idCol).as("path"),
+          lit("c0").as("commit"), lit("en").as("lang"), contentCol.as("content"))
+        val base = corpusOf(d, col("doc_id"), col("text"))
+        val twins = corpusOf(d.where(pmod(col("doc_id"), lit(10)) === 0),
+          col("doc_id") + 100000, concat(col("text"), lit(" zzz")))
+        IndexBuilder.buildFromCorpus(s, base.unionByName(twins), r, "snap-1",
+          IndexConf(numBuckets = 8, docRangeShift = 8))
+      }
+      val fp = s.read.parquet(s"$root/snapshots/snap-1/documents")
+        .select(col("path"), col("fingerprint"))
+      val a = fp.select(col("path").as("a_path"), col("fingerprint").as("a_fp"))
+      val b = fp.select(col("path").as("b_path"), col("fingerprint").as("b_fp"))
+      a.join(b, col("a_path") < col("b_path"))
+        .select(col("a_path"), col("b_path"),
+          bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).as("dist"))
+        .where(col("dist") <= 12)
+        .orderBy("a_path", "b_path")
+    }),
     // d8: decontamination vs an eval set carved from the corpus (doc_id % 50
     // == 0). n=4 here: the synthetic docs are ~150 tokens over a small
     // vocabulary, so 4-grams give the overlap density real pipelines see
@@ -324,6 +355,11 @@ object SparkEntry {
     "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
     "v2b_cosine_verify" -> ((s, dir) => VectorOps.cosineVerify(emb(s, dir), 0.35)),
     "v3_lsh_bucket" -> ((s, dir) => VectorOps.lshBuckets(emb(s, dir))),
+    // banded sign-LSH near-pairs (VERDICT r3 task #4): 4 bands x 4 planes —
+    // occupancy and recall tunable independently; the verify join fans out
+    // only within (band, signature) buckets
+    "v2c_banded_verify" -> ((s, dir) =>
+      VectorOps.bandedCosineVerify(emb(s, dir), 0.35, bands = 4, rPlanes = 4)),
     "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)),
     // trained-centroid IVF, driver-checked at nProbe = k where it must equal
     // exact brute force (validates centroids, assignment map, probe
@@ -405,6 +441,25 @@ object SparkEntry {
     // -- multimodal plumbing (stubbed decode) --------------------------------
     "mm1_decode_stub" -> ((s, dir) =>
       MultiModalOps.decodeMeta(s, docs(s, dir)).toDF().orderBy("doc_id")),
+
+    // mm2: REAL container decode (VERDICT r3 task #5) — the fixture builds
+    // actual PNG (signature + IHDR + CRC32) and JPEG (SOI + APP0 + SOF0)
+    // bytes with dimensions planted from doc_id, and the engine-side parser
+    // walks the real byte layout; the oracle recomputes the planted fields.
+    // Only pixel decode remains stubbed (FakeCodec, sandbox has no codecs).
+    "mm2_decode_headers" -> ((s, dir) => {
+      import s.implicits._
+      val media = docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+        .as[Long].map { id =>
+          val w = (16 + id % 640).toInt
+          val h = (16 + (id * 7) % 480).toInt
+          val payload =
+            if (id % 2 == 0) MultiModalOps.pngBytes(w, h, Seq(0, 2, 6)((id % 3).toInt))
+            else MultiModalOps.jpegBytes(w, h, (1 + id % 3).toInt)
+          MultiModalOps.MediaRow(id, payload)
+        }
+      MultiModalOps.decodeImageMeta(s, media).toDF().orderBy("doc_id")
+    }),
 
     // -- the snapshot index engine itself, driver-oracle-checked over the
     // space-tokenized journal fixture (plainJournal): e1 = term_stats df,
@@ -607,13 +662,18 @@ object SparkEntry {
 
   // ---------------------------------------------------------------------------
 
+  /** DuckDB expression for the `rPlanes`-bit signature of band `band` —
+    * oracle-side mirror of [[VectorOps.bandSignature]]. */
+  private def BandSigSqlExpr(band: Int, rPlanes: Int): String =
+    (0 until rPlanes).map { j =>
+      val w = VectorOps.hyperplaneWeights(64, band * rPlanes + j)
+        .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
   /** DuckDB expression for the 4-plane sign bucket of `embedding` —
-    * oracle-side mirror of [[VectorOps.bucketExpr]]. */
-  private val LshBucketSqlExpr: String = (0 until 4).map { j =>
-    val w = VectorOps.hyperplaneWeights(64, j)
-      .map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
-    s"CASE WHEN list_dot_product(embedding::DOUBLE[], $w) > 0 THEN ${1L << j} ELSE 0 END"
-  }.mkString(" + ")
+    * oracle-side mirror of [[VectorOps.bucketExpr]] (= band 0 at 4 planes). */
+  private val LshBucketSqlExpr: String = BandSigSqlExpr(0, 4)
 
   /** j9 similarity oracle, shared verbatim with j12 (which ranks over the
     * graph this query produces). */
@@ -1014,6 +1074,32 @@ object SparkEntry {
 
     "d4b_jaccard_verify" -> DedupOps.jaccardVerifyOracleSql(0.5),
 
+    // d9: recompute the 60-bit ordered-shingle simhash from raw text for
+    // corpus + twins, then the same hamming-<=12 pair flagging the engine
+    // does from its PERSISTED fingerprint column.
+    "d9_fingerprint_dups" ->
+      """WITH aug AS (
+        |  SELECT 'doc/' || doc_id AS path, text FROM documents
+        |  UNION ALL
+        |  SELECT 'doc/' || (doc_id + 100000), text || ' zzz' FROM documents WHERE doc_id % 10 = 0),
+        |t AS (SELECT path, string_split(text, ' ') AS toks FROM aug),
+        |raw AS (SELECT path, i, toks[i] AS term FROM t
+        |        CROSS JOIN generate_series(1, 8192) AS g(i) WHERE i <= len(toks)),
+        |tok AS (SELECT path, term, row_number() OVER (PARTITION BY path ORDER BY i) AS j
+        |        FROM raw WHERE term <> ''),
+        |sh AS (SELECT a.path AS path, a.term || ' ' || b.term AS shingle
+        |       FROM tok a JOIN tok b ON a.path = b.path AND b.j = a.j + 1),
+        |h AS (SELECT path, ('0x' || substring(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+        |bits AS (SELECT path, b, sum(2 * ((h >> b) & 1) - 1) AS s
+        |         FROM h CROSS JOIN generate_series(0, 59) AS g(b) GROUP BY path, b),
+        |fp AS (SELECT path, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS f
+        |       FROM bits GROUP BY path)
+        |SELECT a.path AS a_path, b.path AS b_path,
+        |  CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS dist
+        |FROM fp a JOIN fp b ON a.path < b.path
+        |WHERE bit_count(xor(a.f, b.f)) <= 12
+        |ORDER BY a_path, b_path""".stripMargin,
+
     // d7: cross-doc duplicate 8-token spans (exact-substring-dedup unit) —
     // per-doc DISTINCT spans, then count across docs.
     "d7_span_dedup" ->
@@ -1100,6 +1186,20 @@ object SparkEntry {
          |  CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, round(list_cosine_similarity(a.e, b.e), 4) AS cos
          |FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE)
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // v2c: banded path — candidates agree on ALL bits of ANY of the 4 bands.
+    "v2c_banded_verify" ->
+      s"""WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  CAST(${BandSigSqlExpr(0, 4)} AS BIGINT) AS s0,
+         |  CAST(${BandSigSqlExpr(1, 4)} AS BIGINT) AS s1,
+         |  CAST(${BandSigSqlExpr(2, 4)} AS BIGINT) AS s2,
+         |  CAST(${BandSigSqlExpr(3, 4)} AS BIGINT) AS s3 FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_cosine_similarity(a.e, b.e), 4) AS cos
+         |FROM s a JOIN s b ON a.vec_id < b.vec_id AND
+         |  (a.s0 = b.s0 OR a.s1 = b.s1 OR a.s2 = b.s2 OR a.s3 = b.s3)
          |WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE)
          |ORDER BY a_id, b_id""".stripMargin,
 
@@ -1265,6 +1365,17 @@ object SparkEntry {
         |(length(text)::BIGINT % 640) + 16 AS width,
         |(length(text)::BIGINT * 7 % 480) + 16 AS height,
         |(length(text)::BIGINT // 256) + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mm2: the real header parse must recover exactly the planted fields.
+    "mm2_decode_headers" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |(16 + doc_id % 640)::BIGINT AS width,
+        |(16 + (doc_id * 7) % 480)::BIGINT AS height,
+        |(CASE WHEN doc_id % 2 = 0
+        |  THEN (CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END)
+        |  ELSE 1 + doc_id % 3 END)::BIGINT AS color
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // e1: the built index's term_stats over the plain fixture — df per term

@@ -19,7 +19,13 @@ final case class CorpusDoc(repo: String, path: String, commit: String, lang: Str
 final case class JournalRow(
     doc_id: Long, url_id: Int, domain_id: Int, rank: Int, doc_meta: Long,
     length: Int, repo: String, path: String, commit: String, lang: String,
-    content_sha256: String, keywords: Array[KeywordRow])
+    content_sha256: String, keywords: Array[KeywordRow],
+    /** 60-bit EasyLSH-style content fingerprint (graft.analysis.Fingerprint),
+      * computed in the corpus-path tokenize map (journal-level fixtures that
+      * bypass the tokenizer default it to 0). Rides into `documents` so
+      * near-dup flagging never re-reads text — reference EasyLSH.java:12-60
+      * via DocumentLanguageData.java:36-44. */
+    fingerprint: Long = 0L)
 final case class KeywordRow(term: String, meta: Long, tf: Int)
 
 /** One exploded posting before the index shuffle. */
@@ -215,7 +221,8 @@ object IndexBuilder {
             doc_meta = a.docMeta, length = a.length,
             repo = repo, path = path, commit = commit, lang = lang,
             content_sha256 = Hashes.sha256Hex(content),
-            keywords = a.keywords.map(k => KeywordRow(k.term, k.meta, k.tf)))
+            keywords = a.keywords.map(k => KeywordRow(k.term, k.meta, k.tf)),
+            fingerprint = graft.analysis.Fingerprint.simhash60(content))
         }
       journal.write.mode("overwrite").parquet(s"$dir/journal")
       Snapshots.markStageDone(root, snapshotId, StageJournal)

@@ -112,6 +112,74 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Signature of band `band`: `rPlanes` sign bits from hyperplanes
+    * band·rPlanes .. band·rPlanes+rPlanes−1 — every (band, plane) pair gets
+    * its own hashed weights, so bands are mutually independent tables. */
+  def bandSignature(band: Int, rPlanes: Int, dim: Int = 64): Column =
+    (0 until rPlanes).map { j =>
+      val w = array(hyperplaneWeights(dim, band * rPlanes + j).map(lit): _*)
+      when(dot(col("embedding"), w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Banded sign-LSH candidate pairs (VERDICT r3 task #4 — the same band
+    * structure as DedupOps' MinHash LSH): `bands` independent tables of
+    * `rPlanes` sign bits; a pair is a candidate when it agrees on ALL
+    * rPlanes bits of ANY band. This decouples the two knobs the single-table
+    * [[cosineVerify]] conflates: per-band bucket occupancy is
+    * corpus ⁄ 2^rPlanes in expectation (add planes to shrink the join
+    * fan-out), recall is 1 − (1 − s^rPlanes)^bands for bit-agreement rate s
+    * (add bands to raise it). The shuffle is keyed (band, signature) and the
+    * join fans out only within a bucket — never corpus². */
+  def bandedCandidatePairs(emb: DataFrame, bands: Int, rPlanes: Int): DataFrame = {
+    require(rPlanes >= 1 && rPlanes <= 62 && bands >= 1)
+    val sigs = (0 until bands).map(b =>
+      emb.select(col("vec_id"), lit(b).as("band"), bandSignature(b, rPlanes).as("sig")))
+      .reduce(_ unionByName _)
+    val l = sigs.select(col("band"), col("sig"), col("vec_id").as("a_id"))
+    val r = sigs.select(col("band"), col("sig"), col("vec_id").as("b_id"))
+    l.join(r, Seq("band", "sig")).where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Per-(band, signature) bucket sizes — the occupancy guard's input. The
+    * within-bucket join does O(n²) work in each bucket, so callers sizing
+    * `rPlanes` for a corpus should check `max(n)` here stays inside their
+    * per-task budget (the spec pins this on a skewed fixture). */
+  def bandOccupancy(emb: DataFrame, bands: Int, rPlanes: Int): DataFrame =
+    (0 until bands).map(b =>
+      emb.select(lit(b).as("band"), bandSignature(b, rPlanes).as("sig")))
+      .reduce(_ unionByName _)
+      .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+
+  /** All near pairs at scale via banded LSH + exact cosine verify — the
+    * 100 TB default over [[cosineVerify]]'s single 4-plane table (whose
+    * 16 buckets fan a within-bucket join out over corpus/16 — a scale
+    * killer at the default). `occupancyWarn > 0` runs the one-aggregate
+    * occupancy probe first and logs any bucket above the cap to stderr —
+    * opt-in, so the serving path stays single-plan. */
+  def bandedCosineVerify(emb: DataFrame, threshold: Double,
+                         bands: Int = 8, rPlanes: Int = 10,
+                         occupancyWarn: Long = 0L): DataFrame = {
+    if (occupancyWarn > 0L) {
+      val hot = bandOccupancy(emb, bands, rPlanes)
+        .where(col("n") > occupancyWarn).orderBy(col("n").desc).limit(8).collect()
+      hot.foreach(r => System.err.println(
+        s"[bandedCosineVerify] hot bucket band=${r.getInt(0)} sig=${r.getLong(1)} " +
+          s"n=${r.getLong(2)} > $occupancyWarn — raise rPlanes or pre-split"))
+    }
+    val withN = emb.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
+    bandedCandidatePairs(emb, bands, rPlanes)
+      .join(withN.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("n").as("a_n")), "a_id")
+      .join(withN.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("n").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) / (col("a_n") * col("b_n")), 4)
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .orderBy("a_id", "b_id")
+  }
+
   /** IVF-style coarse index: cells = LSH sign buckets (a deterministic
     * stand-in for k-means centroids — no iterative training, same probe
     * structure). Multi-probe: the query probes its own cell plus every cell

@@ -214,6 +214,68 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("build-time fingerprint: h60 parity with the Spark column, EasyLSH semantics") {
+    import graft.analysis.Fingerprint
+    // 1) JVM h60 must be bit-identical to the Spark/DuckDB md5 expression —
+    //    the entire cross-engine oracle rests on this
+    val samples = Seq("a", "hash join", "stream window batch", "zzz", "é ü",
+      "w0 w1", "", " ", "doc/123")
+    val viaSpark = spark.sql(samples.map(s0 =>
+        s"SELECT conv(substring(md5('${s0.replace("'", "''")}'), 1, 15), 16, 10)")
+      .mkString(" UNION ALL ")).collect().map(_.getString(0).toLong)
+    assert(samples.map(Fingerprint.h60).toSeq === viaSpark.toSeq)
+    // 2) EasyLSH-style semantics: order-sensitive (ordered shingles), stable,
+    //    near-dup twins land close in hamming space, unrelated docs far
+    val doc = (0 until 60).map(k => s"w${k % 17}").mkString(" ")
+    assert(Fingerprint.simhash60(doc) === Fingerprint.simhash60(doc))
+    val reversed = doc.split(" ").reverse.mkString(" ")
+    assert(Fingerprint.simhash60(doc) !== Fingerprint.simhash60(reversed),
+      "shingling must make the fingerprint order-sensitive")
+    val twin = doc + " zzz"
+    val other = (0 until 60).map(k => s"v${k % 19}").mkString(" ")
+    val dTwin = Fingerprint.distance(Fingerprint.simhash60(doc), Fingerprint.simhash60(twin))
+    val dOther = Fingerprint.distance(Fingerprint.simhash60(doc), Fingerprint.simhash60(other))
+    assert(dTwin < 12 && dOther > 18, s"twin $dTwin, unrelated $dOther")
+    // 3) edges: empty → 0; single token votes on itself; double spaces
+    //    collapse (tokens are the NON-EMPTY chunks)
+    assert(Fingerprint.simhash60("") === 0L)
+    assert(Fingerprint.simhash60("only") !== 0L)
+    assert(Fingerprint.simhash60("a  b") === Fingerprint.simhash60("a b"))
+    // 4) the builder persists it: corpus-path documents carry the column
+    import graft.build.{IndexBuilder, IndexConf}
+    import graft.fixtures.Fixtures
+    val root = java.nio.file.Files.createTempDirectory("fp-idx").toString
+    IndexBuilder.buildFromCorpus(spark, Fixtures.tinyCorpus(spark).toDF().limit(64),
+      root, "snap-1", IndexConf(numBuckets = 4, docRangeShift = 6))
+    val docsT = spark.read.parquet(s"$root/snapshots/snap-1/documents")
+    assert(docsT.columns.contains("fingerprint"))
+    assert(docsT.where(col("fingerprint") =!= 0L).count() > 0L)
+  }
+
+  test("image header parser round-trips real PNG/JPEG bytes and rejects junk") {
+    // PNG: every color type the fixture plants, plus edge dims
+    for ((w, h, c) <- Seq((16, 16, 0), (654, 495, 2), (1, 1, 6), (65535, 2, 2))) {
+      val parsed = MultiModalOps.parseImageMeta(MultiModalOps.pngBytes(w, h, c))
+      assert(parsed === Some(("png", w, h, c)))
+    }
+    // JPEG: the APP0 walk must skip to SOF0 correctly for 1-3 components
+    for ((w, h, n) <- Seq((16, 16, 1), (654, 495, 3), (1, 1, 2))) {
+      val parsed = MultiModalOps.parseImageMeta(MultiModalOps.jpegBytes(w, h, n))
+      assert(parsed === Some(("jpeg", w, h, n)))
+    }
+    // junk, truncation, JPEG with no SOF before EOI
+    assert(MultiModalOps.parseImageMeta("not an image".getBytes) === None)
+    assert(MultiModalOps.parseImageMeta(MultiModalOps.pngBytes(4, 4, 2).take(20)) === None)
+    assert(MultiModalOps.parseImageMeta(Array(0xFF, 0xD8, 0xFF, 0xD9).map(_.toByte)) === None)
+    // PNG CRC is real: an independent reader (java ImageIO would) sees the
+    // same IHDR CRC32 the spec recomputes here
+    val png = MultiModalOps.pngBytes(100, 50, 2)
+    val crc = new java.util.zip.CRC32()
+    crc.update(png.slice(12, 29)) // "IHDR" + 13-byte payload
+    val stored = java.nio.ByteBuffer.wrap(png.slice(29, 33)).getInt & 0xFFFFFFFFL
+    assert(stored === crc.getValue)
+  }
+
   test("stubbed media embeddings feed the ANN ops end-to-end") {
     val docs = chainDocs
     val emb = MultiModalOps.extractEmbeddings(spark, docs).toDF()
@@ -227,6 +289,46 @@ class OpsSpec extends AnyFunSuite {
     assert(buckets.count() === 9)
     val pairs = VectorOps.cosineVerify(emb, -1.0) // keep all same-bucket pairs
     assert(!planOf(pairs).contains("CartesianProduct"))
+  }
+
+  test("banded LSH: occupancy shrinks with rPlanes, recall holds, no crossJoin") {
+    // 512 pseudo-random vectors with 256 planted near-dup pairs (i, i+256):
+    // the twin is the base plus a small deterministic perturbation
+    // hash-based coordinates, NOT sinusoids — sin(a·i + b·j) puts every
+    // vector on one 2-D circle and collapses any sign-LSH scheme
+    val emb = spark.range(0, 512).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 63), j -> cast(" +
+        "pmod(xxhash64(concat(cast(id % 256 as string), ':', cast(j as string))), 1000) / 500.0d - 1.0d" +
+        " + (id div 256) * 0.02d * (pmod(xxhash64(concat(cast(id as string), '!', cast(j as string))), 100) / 50.0d - 1.0d)" +
+        " as float)) AS embedding")
+      .cache()
+    // occupancy: 8-plane bands spread the same corpus over 2^8 buckets per
+    // band — max bucket must be well under the single 4-plane table's
+    // (the round-3 default whose 16 buckets fan out corpus/16 per bucket)
+    def maxBucket(bands: Int, r: Int): Long =
+      VectorOps.bandOccupancy(emb, bands, r).agg(max(col("n"))).collect()(0).getLong(0)
+    val coarse = maxBucket(1, 4)
+    val fine = maxBucket(8, 8)
+    assert(coarse > 40L, s"fixture too uniform for the test: coarse max $coarse")
+    assert(fine < coarse / 2, s"8-plane bands should halve occupancy: $fine vs $coarse")
+    // recall vs brute force at the near-dup threshold: the planted twins sit
+    // at cos ≈ 0.99 and 8 bands × 8 planes must recover them all
+    val brute = VectorOps.cosinePairs(emb, Long.MaxValue, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 256, s"fixture must plant >= 256 near-dup pairs, got ${brute.size}")
+    val banded = VectorOps.bandedCosineVerify(emb, 0.95, bands = 8, rPlanes = 8)
+    assert(!planOf(banded).contains("CartesianProduct"))
+    val got = banded.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(brute), "banded verify must never invent pairs")
+    val recall = got.size.toDouble / brute.size
+    assert(recall >= 0.95, s"banded recall $recall (${got.size}/${brute.size})")
+    // the occupancy guard is observational only: results identical with it on
+    val guarded = VectorOps.bandedCosineVerify(emb, 0.95, bands = 8, rPlanes = 8,
+      occupancyWarn = 1L).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === got)
+    emb.unpersist()
+    ()
   }
 
   test("ivfTopK recall@20 vs brute force is the expected deterministic value") {
