@@ -48,7 +48,11 @@ object SuggestDict {
       Snapshots.markStageDone(root, snapshotId, StageDict)
     }
     if (!Snapshots.isStageDone(root, snapshotId, StageDeletes)) {
-      SuggestOps.deletesTable(spark.read.parquet(s"$dir/$StageDict"))
+      // from the UNFILTERED term dict: the inline SuggestOps.spellCorrect and
+      // the reference SymSpell index the full dictionary (SymSpell.java:70) —
+      // only suggest_dict applies the suggestible-shape filter (ADVICE r3:
+      // the two spell paths must serve the same corrections)
+      SuggestOps.deletesTable(TermFreqDict.compute(spark, corpus))
         .repartitionByRange(numParts, col("del")).sortWithinPartitions("del")
         .write.mode("overwrite").parquet(s"$dir/$StageDeletes")
       Snapshots.markStageDone(root, snapshotId, StageDeletes)

@@ -162,6 +162,10 @@ object AdjacencyOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bidi = sim.select(col("domain_id").as("src"), col("neighbor_id").as("dst"))
       .union(sim.select(col("neighbor_id").as("src"), col("domain_id").as("dst")))
-    RelationalOps.seededPageRank(bidi, origins, iters)
+    // seededPageRank materializes its result (localCheckpoint) before
+    // returning, so the similarity intermediate can be released here
+    val out = RelationalOps.seededPageRank(bidi, origins, iters)
+    sim.unpersist()
+    out
   }
 }

@@ -48,7 +48,13 @@ object RelationalOps {
       // joins overwhelms the optimizer and the task-serialization path
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the (one-row-per-node) result, then release the inputs —
+    // repeated invocations in a long-lived session must not accumulate
+    // storage until a global clearCache() (ADVICE r3)
+    val out = ranks.localCheckpoint()
+    edges.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** J6b/J6c: the reference's two SEEDED ranking algorithms
@@ -79,10 +85,19 @@ object RelationalOps {
     * the plan (no per-iteration driver action).
     */
   def seededPageRank(edges0: DataFrame, origins: Seq[Any], iters: Int,
-                     reverse: Boolean = false): DataFrame = {
+                     reverse: Boolean = false,
+                     /** Node universe. Default (null) derives it from edge
+                       * endpoints — a documented divergence: the reference
+                       * ranks LINKLESS domains too (n counts them, a
+                       * linkless origin still receives teleport mass,
+                       * RankingAlgorithm.java:75-105). Pass the full domain
+                       * table (one id column) for reference parity. */
+                     nodes0: DataFrame = null): DataFrame = {
     val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val nodes = (if (nodes0 != null)
+      nodes0.select(col(nodes0.columns.head).as("id")).distinct()
+    else edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()).cache()
     // one driver action for both scalars (n, resolvable-origin count k) —
     // it also populates the edges/nodes caches before the iteration loop
     val nk = nodes.agg(
@@ -123,7 +138,13 @@ object RelationalOps {
         else base
       if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks
+    // materialize the (one-row-per-node) result, then release the inputs —
+    // repeated invocations in a long-lived session must not accumulate
+    // storage until a global clearCache() (ADVICE r3)
+    val out = ranks.localCheckpoint()
+    edges.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** J6 → index wiring: domain rank bytes from PageRank over a repo link

@@ -211,9 +211,12 @@ object SuggestOps {
     * prefix restriction compiles to a pushable `StringStartsWith`, so on a
     * term-sorted dictionary parquet min/max pruning skips to the prefix the
     * way the trie's `select` does. */
-  def suggestPrefix(dict: DataFrame, prefix: String, count: Int,
+  def suggestPrefix(dict: DataFrame, prefix0: String, count: Int,
                     scanCap: Int = TrieScanCap,
                     minPrefixLen: Int = MinSuggestLength): DataFrame = {
+    // lowercase like the reference (Suggestions.java:78) — the dict stores
+    // lowercase terms, so a mixed-case prefix would silently match nothing
+    val prefix = prefix0.toLowerCase(java.util.Locale.ROOT)
     val base = dict.select("term", "df")
     if (prefix.length < minPrefixLen) base.where(lit(false))
     else base

@@ -152,6 +152,25 @@ class SeededPageRankSpec extends AnyFunSuite {
     assert(gated.size < 10, "odd ids must consume slots without appearing")
   }
 
+  test("explicit node universe ranks linkless domains (ADVICE r3)") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val nodes = Seq(0L, 1L, 2L, 99L).toDF("id") // 99 has no links at all
+    // default (edge-derived): the isolated node is absent
+    val noNodes = RelationalOps.seededPageRank(edges, Seq(0L), 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(!noNodes.contains(99L))
+    // explicit universe: the linkless node is present and counted in n —
+    // the cycle nodes' rank is 0.85^4/4, not 0.85^4/3. (A linkless origin
+    // still ends at 0.0: the reference skips the teleport adjustment after
+    // the FINAL iteration, and nothing links to it — same here.)
+    val withNodes = RelationalOps.seededPageRank(edges, Seq(99L), 4, nodes0 = nodes)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(withNodes.contains(99L))
+    assert(math.abs(withNodes(0L) - math.pow(0.85, 4) / 4) < 1e-12,
+      s"n must count the linkless node: $withNodes")
+  }
+
   test("reverse PageRank rewards nodes that link TO the origin") {
     import spark.implicits._
     // star: leaves 1..28 link to hub 0; chain 29→40→41 never reaches the hub
