@@ -47,6 +47,10 @@ object VectorOps {
     * sqrt(dot(e,e)) expression, evaluated once instead of once per pair) —
     * per-pair work drops from 3 to 1 array traversals. */
   def cosinePairs(emb: DataFrame, idBound: Long, threshold: Double): DataFrame = {
+    require(idBound <= DedupOps.BrutePairBound,
+      s"cosinePairs is the O(n²) oracle twin — idBound=$idBound exceeds " +
+      s"${DedupOps.BrutePairBound}; use cosineVerify over bandedSignBuckets " +
+      "(or the IVF family) at corpus scale")
     val sub = emb.where(col("vec_id") < idBound)
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("n"))
     val a = sub.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),

@@ -92,7 +92,7 @@ class OpsSpec extends AnyFunSuite {
     val viaLsh = VectorOps.cosineVerify(emb, 0.35).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val buckets = VectorOps.lshBuckets(emb).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val bounded = VectorOps.cosinePairs(emb, Long.MaxValue, 0.35).collect()
+    val bounded = VectorOps.cosinePairs(emb, DedupOps.BrutePairBound, 0.35).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .filter { case (a, b, _) => buckets(a) == buckets(b) }.toSet
     assert(viaLsh === bounded)
@@ -113,7 +113,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false)),
       s"got ${out.toSeq}")
     // sanity: a·c alone is below the threshold — only the chain connects them
-    val cosAC = VectorOps.cosinePairs(emb.where($"vec_id".isin(0L, 2L)), Long.MaxValue, 0.0)
+    val cosAC = VectorOps.cosinePairs(emb.where($"vec_id".isin(0L, 2L)), DedupOps.BrutePairBound, 0.0)
       .collect().head.getDouble(2)
     assert(cosAC < 0.8, s"fixture broken: cos(a,c)=$cosAC")
   }
@@ -314,7 +314,7 @@ class OpsSpec extends AnyFunSuite {
     assert(fine < coarse / 2, s"8-plane bands should halve occupancy: $fine vs $coarse")
     // recall vs brute force at the near-dup threshold: the planted twins sit
     // at cos ≈ 0.99 and 8 bands × 8 planes must recover them all
-    val brute = VectorOps.cosinePairs(emb, Long.MaxValue, 0.95).collect()
+    val brute = VectorOps.cosinePairs(emb, DedupOps.BrutePairBound, 0.95).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.size >= 256, s"fixture must plant >= 256 near-dup pairs, got ${brute.size}")
     val banded = VectorOps.bandedCosineVerify(emb, 0.95, bands = 8, rPlanes = 8)
