@@ -21,6 +21,25 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** mm3/mm4 fixture: real WAV/MP4 container bytes with layout planted from
+    * doc_id (testdata carries no media) — even ids get 8-bit mono WAV at
+    * 1-4 kHz, odd ids an mvhd with timescale 600; the oracles recompute the
+    * planted sample layout / duration in SQL. */
+  private def avFixture(s: SparkSession, dir: String) = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id").cast("long").as("doc_id"))
+      .as[Long].map { id =>
+        val payload =
+          if (id % 2 == 0)
+            MultiModalOps.wavBytes(
+              sampleRate = (1000 + ((id / 2) % 4) * 1000).toInt, channels = 1,
+              bits = 8, nSamples = (500 + id % 12000).toInt)
+          else
+            MultiModalOps.mp4Bytes(600, 60 + id % 7200)
+        MultiModalOps.MediaRow(id, payload)
+      }
+  }
+
   /** Scratch root for the slots that build an index/IVF snapshot inside the
     * query (e1/e2/e3, n1_near, q_phrase_engine, v4c) — reclaimed at JVM exit
     * so repeated bench/verify runs don't strand gigabytes under /tmp. */
@@ -459,6 +478,25 @@ object SparkEntry {
           MultiModalOps.MediaRow(id, payload)
         }
       MultiModalOps.decodeImageMeta(s, media).toDF().orderBy("doc_id")
+    }),
+
+    // mm3: REAL audio/video container decode (round 4) — actual WAV
+    // (RIFF/WAVE fmt+data, LE chunk walk) and MP4 (ftyp+moov/mvhd, BE box
+    // walk) bytes with layout planted from doc_id; the parser walks the real
+    // container structure, the oracle recomputes the planted fields. Sample
+    // decode stays stubbed — headers need no codec library.
+    "mm3_av_headers" -> ((s, dir) => {
+      import s.implicits._
+      MultiModalOps.decodeAvMeta(s, avFixture(s, dir)).toDF().orderBy("doc_id")
+    }),
+
+    // mm4: frame-sample plumbing over the REAL parsed duration — one row per
+    // sampled frame, n = min(8, ceil(seconds)), ts = i*D/n; a row-local
+    // flatMap (no shuffle, output bounded by maxFrames x rows).
+    "mm4_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      MultiModalOps.sampleFrames(s, avFixture(s, dir)).toDF()
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // -- the snapshot index engine itself, driver-oracle-checked over the
@@ -1377,6 +1415,34 @@ object SparkEntry {
         |  THEN (CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END)
         |  ELSE 1 + doc_id % 3 END)::BIGINT AS color
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mm3: the real WAV/MP4 header parse must recover exactly the planted
+    // layout (WAV duration = floor(nSamples*1000/rate) — byteRate cancels the
+    // blockAlign factor; MP4 duration = floor(ticks*1000/timescale)).
+    "mm3_av_headers" ->
+      """SELECT doc_id,
+        |CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |(CASE WHEN doc_id % 2 = 0 THEN 1000 + ((doc_id // 2) % 4) * 1000
+        |      ELSE -1 END)::BIGINT AS sample_rate,
+        |(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS channels,
+        |(CASE WHEN doc_id % 2 = 0
+        |  THEN ((500 + doc_id % 12000) * 1000) // (1000 + ((doc_id // 2) % 4) * 1000)
+        |  ELSE ((60 + doc_id % 7200) * 1000) // 600 END)::BIGINT AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mm4: even-interval frame sampling over the same planted durations —
+    // n = min(8, ceil(seconds)), ts = i*D/n in integer ms.
+    "mm4_frame_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN ((500 + doc_id % 12000) * 1000) // (1000 + ((doc_id // 2) % 4) * 1000)
+        |      ELSE ((60 + doc_id % 7200) * 1000) // 600 END)::BIGINT AS dur
+        |  FROM documents),
+        |n AS (SELECT doc_id, dur, LEAST(8, (dur + 999) // 1000) AS nf FROM d WHERE dur > 0)
+        |SELECT doc_id, i::BIGINT AS frame_idx, ((i * dur) // nf)::BIGINT AS ts_ms
+        |FROM (SELECT doc_id, dur, nf, UNNEST(range(0, nf)) AS i FROM n) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // e1: the built index's term_stats over the plain fixture — df per term
     // = distinct-doc count, recomputed by DuckDB from the same tokenization.

@@ -143,6 +143,150 @@ object MultiModalOps {
     })
   }
 
+  // ---- real audio/video-container decode (round 4) ---------------------------
+  // WAV and MP4 timing/stream metadata is byte slicing too: RIFF chunk walk to
+  // `fmt `/`data`, ISO-BMFF box walk to moov/mvhd. Sample decode stays stubbed
+  // (FakeCodec) — the containers' header layout needs no codec library.
+
+  final case class AvMeta(doc_id: Long, format: String, sample_rate: Long,
+                          channels: Long, duration_ms: Long)
+
+  /** Parse (format, sampleRate, channels, durationMs) from real WAV bytes
+    * (RIFF spec: "RIFF" size "WAVE", then LE-sized chunks; `fmt ` carries
+    * format(2) channels(2) sampleRate(4) byteRate(4) blockAlign(2) bits(2);
+    * `data`'s size / byteRate is the play time). None if either chunk is
+    * missing or malformed. */
+  def parseWavMeta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (b.length < 44 ||
+        b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
+    var i = 12
+    var rate = 0L; var channels = 0; var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12)
+        byteRate = le32(i + 16)
+      } else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
+    else Some((rate.toInt, channels, dataLen * 1000L / byteRate))
+  }
+
+  /** Parse durationMs from real MP4 (ISO-BMFF) bytes: walk the top-level
+    * [size BE32][4cc] boxes to `moov`, then its children to `mvhd`
+    * (version(1) flags(3) ctime mtime timescale(4) duration — 4-byte times in
+    * v0, 8-byte in v1). None without a parseable mvhd. */
+  def parseMp4Meta(b: Array[Byte]): Option[Long] = {
+    def u8(i: Int): Int = b(i) & 0xFF
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def walk(from: Long, to: Long, typ: String): Long = { // start of box payload, or -1
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(i.toInt)
+        if (size < 8) return -1L // size64/size0 boxes don't appear in headers this small
+        if (new String(b, i.toInt + 4, 4, "US-ASCII") == typ) return i + 8
+        i += size
+      }
+      -1L
+    }
+    val moov = walk(0L, b.length.toLong, "moov")
+    if (moov < 0) return None
+    val moovEnd = moov - 8 + be32(moov.toInt - 8)
+    val mvhd = walk(moov, moovEnd, "mvhd")
+    if (mvhd < 0 || mvhd + 4 > b.length) return None
+    val v = u8(mvhd.toInt)
+    val (timescale, duration) =
+      if (v == 1) (be32(mvhd.toInt + 20), be64(mvhd.toInt + 24))
+      else (be32(mvhd.toInt + 12), be32(mvhd.toInt + 16))
+    if (timescale <= 0) None else Some(duration * 1000L / timescale)
+  }
+
+  /** Minimal REAL WAV fixture: RIFF/WAVE + `fmt ` + a silent `data` chunk
+    * sized for `nSamples`. The parser above walks these bytes generically. */
+  def wavBytes(sampleRate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val byteRate = sampleRate * blockAlign
+    val dataLen = nSamples * blockAlign
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(channels.toShort) // PCM
+      .putInt(sampleRate).putInt(byteRate)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    buf.array() // data payload stays zeroed — silence; samples are stubbed
+  }
+
+  /** Minimal REAL MP4 fixture: ftyp + moov{mvhd v0} with the given timescale
+    * and duration (media samples stubbed, like pngBytes' pixels). */
+  def mp4Bytes(timescale: Int, duration: Long): Array[Byte] = {
+    val ftyp = java.nio.ByteBuffer.allocate(16)
+    ftyp.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(512)
+    val mvhd = java.nio.ByteBuffer.allocate(108)
+    mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort) // rate, volume
+      .putLong(0L) // reserved
+    // identity matrix + predefineds fill the rest of the v0 layout
+    val moov = java.nio.ByteBuffer.allocate(8 + 108)
+    moov.putInt(8 + 108).put("moov".getBytes("US-ASCII")).put(mvhd.array())
+    ftyp.array() ++ moov.array()
+  }
+
+  /** Decode audio/video container metadata per media row — same narrow typed
+    * map as [[decodeImageMeta]]; WAV rows carry their real sample layout, MP4
+    * rows their real mvhd duration (sample_rate/channels -1: video streams
+    * need a full trak walk, stubbed with the codecs). */
+  def decodeAvMeta(spark: SparkSession, media: Dataset[MediaRow]): Dataset[AvMeta] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      parseWavMeta(m.payload) match {
+        case Some((rate, ch, ms)) => AvMeta(m.doc_id, "wav", rate.toLong, ch.toLong, ms)
+        case None => parseMp4Meta(m.payload) match {
+          case Some(ms) => AvMeta(m.doc_id, "mp4", -1L, -1L, ms)
+          case None     => AvMeta(m.doc_id, "unknown", -1L, -1L, -1L)
+        }
+      }
+    })
+  }
+
+  final case class FrameSample(doc_id: Long, frame_idx: Long, ts_ms: Long)
+
+  /** Even-interval frame sampling over the REAL parsed duration — the
+    * Spark-side plumbing of a video frame-sample stage: one row per sampled
+    * frame, n = min(maxFrames, ⌈duration in seconds⌉), ts = i·D/n (integer
+    * ms). Frame EXTRACTION at those timestamps is the codec-stubbed part; the
+    * fan-out is a row-local flatMap, so partitioning and batch shape survive
+    * any corpus size (output ≤ maxFrames × rows, no shuffle). */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
+                   maxFrames: Int = 8): Dataset[FrameSample] = {
+    import spark.implicits._
+    media.flatMap { m =>
+      val dur = parseWavMeta(m.payload).map(_._3).orElse(parseMp4Meta(m.payload))
+      dur match {
+        case Some(d) if d > 0 =>
+          val n = math.min(maxFrames.toLong, (d + 999) / 1000)
+          (0L until n).map(i => FrameSample(m.doc_id, i, i * d / n))
+        case _ => Nil
+      }
+    }
+  }
+
   final case class MediaEmbedding(vec_id: Long, embedding: Array[Float])
 
   /** STUB feature extractor: a deterministic payload → dense-vector function

@@ -263,8 +263,18 @@ object RelationalOps {
          |  SELECT id, rank FROM core
          |  UNION ALL SELECT id, CAST(0 AS DOUBLE) AS rank FROM periph)
          |ORDER BY rank DESC, id LIMIT $max""".stripMargin
-    // eligibility applies OUTSIDE the LIMIT — ineligible nodes consume slots
-    if (evenIdsOnly) s"SELECT id, rank FROM (\n$inner\n) cut WHERE id % 2 = 0"
+    // eligibility applies OUTSIDE the LIMIT — ineligible nodes consume
+    // slots. The eligible SET is the operator's semi-join side (even ids
+    // drawn from the events-derived periphMod universe), not a bare parity
+    // predicate: at tiny scale some residues mod periphMod never occur in
+    // events, and the semi join rightly drops them where `id % 2 = 0` alone
+    // would not.
+    if (evenIdsOnly)
+      s"""SELECT id, rank FROM (
+         |$inner
+         |) cut WHERE id IN (
+         |  SELECT DISTINCT user_id % $periphMod FROM events
+         |  WHERE user_id % $periphMod % 2 = 0)""".stripMargin
     else inner
   }
 

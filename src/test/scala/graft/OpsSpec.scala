@@ -276,6 +276,41 @@ class OpsSpec extends AnyFunSuite {
     assert(stored === crc.getValue)
   }
 
+  test("av header parser round-trips real WAV/MP4 bytes and rejects junk") {
+    // WAV: rate/channels/bits grids; duration must floor like dataLen/byteRate
+    for ((rate, ch, bits, n) <- Seq((8000, 1, 8, 4000), (44100, 2, 16, 44100),
+                                    (1000, 1, 8, 1500), (48000, 6, 24, 12000))) {
+      val parsed = MultiModalOps.parseWavMeta(MultiModalOps.wavBytes(rate, ch, bits, n))
+      assert(parsed === Some((rate, ch, n.toLong * 1000L / rate)))
+    }
+    // MP4: v0 mvhd duration in ms, including a >32s duration
+    for ((ts, dur) <- Seq((600, 600L), (600, 90000L), (1000, 1L), (90000, 123456L))) {
+      val parsed = MultiModalOps.parseMp4Meta(MultiModalOps.mp4Bytes(ts, dur))
+      assert(parsed === Some(dur * 1000L / ts))
+    }
+    // junk, truncation, RIFF that is not WAVE, mp4 without a moov
+    assert(MultiModalOps.parseWavMeta("RIFFxxxxAVI LIST".getBytes ++ new Array[Byte](40)) === None)
+    assert(MultiModalOps.parseWavMeta(MultiModalOps.wavBytes(8000, 1, 8, 100).take(30)) === None)
+    assert(MultiModalOps.parseMp4Meta(MultiModalOps.mp4Bytes(600, 600).take(16)) === None)
+    assert(MultiModalOps.parseMp4Meta("free".getBytes) === None)
+    // decodeAvMeta routes by container and degrades to unknown
+    import spark.implicits._
+    val rows = Seq(
+      MultiModalOps.MediaRow(0L, MultiModalOps.wavBytes(2000, 1, 8, 5000)),
+      MultiModalOps.MediaRow(1L, MultiModalOps.mp4Bytes(600, 3000)),
+      MultiModalOps.MediaRow(2L, "garbage".getBytes)).toDS()
+    val metas = MultiModalOps.decodeAvMeta(spark, rows).collect().sortBy(_.doc_id)
+    assert(metas.map(m => (m.format, m.sample_rate, m.channels, m.duration_ms)).toSeq ===
+      Seq(("wav", 2000L, 1L, 2500L), ("mp4", -1L, -1L, 5000L), ("unknown", -1L, -1L, -1L)))
+    // frame sampling: n = min(8, ceil(seconds)), even integer-ms spacing
+    val frames = MultiModalOps.sampleFrames(spark, rows).collect()
+      .groupBy(_.doc_id).view.mapValues(_.sortBy(_.frame_idx)).toMap
+    assert(frames(0L).map(f => (f.frame_idx, f.ts_ms)).toSeq ===
+      (0L until 3L).map(i => (i, i * 2500L / 3L)).toSeq)
+    assert(frames(1L).length === 5) // 5.0 s -> 5 frames
+    assert(!frames.contains(2L))    // unparseable payloads yield no frames
+  }
+
   test("stubbed media embeddings feed the ANN ops end-to-end") {
     val docs = chainDocs
     val emb = MultiModalOps.extractEmbeddings(spark, docs).toDF()
