@@ -104,6 +104,12 @@ object SparkEntry {
     "s12_sessions" -> ((s, dir) =>
       graft.streaming.StreamingOps.sessionizeBatch(tbl(s, dir, "events"), 1800L)),
 
+    // s15: dedup-on-ingest verdicts — the streaming face of d1, oracled via
+    // the batch twin (identical to the stream on a single-trigger drain;
+    // StreamingOpsSpec covers the stateful multi-trigger machinery).
+    "s15_dedup_verdict" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupVerdictBatch(tbl(s, dir, "documents"))),
+
     // -- joins (F2/F3 semi/anti = J1/J2 at DataFrame level, J5 broadcast) ----
     "f2_semi_join" -> ((s, dir) =>
       tbl(s, dir, "customer")
@@ -796,6 +802,8 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s12_sessions" -> graft.streaming.StreamingOps.sessionizeBatchOracleSql(1800L),
+
+    "s15_dedup_verdict" -> graft.streaming.StreamingOps.dedupVerdictOracleSql,
 
     "f2_semi_join" ->
       """SELECT c_custkey FROM customer WHERE EXISTS

@@ -423,10 +423,7 @@ object TextOps {
     val toks0 = tokens(docs)
     val toks =
       if (!stem) toks0
-      else {
-        val stemUdf = udf((t: String) => graft.analysis.Porter.stem(t))
-        toks0.withColumn("term", stemUdf(col("term")))
-      }
+      else toks0.withColumn("term", graft.functions.GraftFunctions.stem(col("term")))
     val matched = toks.join(lex, "term")
       .groupBy("doc_id", "term", "v").agg(count(lit(1)).as("tf"))
       .groupBy("doc_id")

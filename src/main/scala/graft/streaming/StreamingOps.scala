@@ -15,6 +15,13 @@ final case class SessionAgg(start: Long, last: Long, n: Int)
 final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                          n_events: Int, duration_sec: Long)
 
+/** One incoming document key for streaming dedup (hash precomputed upstream,
+  * e.g. `md5(text)` riding the ingest projection). */
+final case class DocKey(doc_id: Long, content_hash: String)
+
+/** Streaming dedup verdict: `is_first` = this doc is the hash's keeper. */
+final case class DedupVerdict(doc_id: Long, content_hash: String, is_first: Boolean)
+
 /** Streaming analytics over the `events` stream (SURVEY §2.11 beyond
   * ingestion): watermarked tumbling-window aggregation and gap-based
   * sessionization with custom state (`flatMapGroupsWithState`). Each has a
@@ -79,6 +86,56 @@ object StreamingOps {
        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
        |CAST(floor(epoch(max(ts)) - epoch(min(ts))) AS BIGINT) AS duration_sec
        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  /** Streaming exact-dedup verdict: one row per incoming document, flagged
+    * `is_first` iff its content hash was never seen before (LLM-pipeline
+    * dedup-on-ingest — the streaming face of `DedupOps.exactDups`).
+    *
+    * Semantics are ARRIVAL-ORDER, the standard streaming-dedup contract
+    * (Spark's own `dropDuplicates` on a stream behaves the same way): the
+    * keeper of a hash is the lowest doc_id in the first trigger that carries
+    * it; later triggers' duplicates — even with lower ids — are not-first.
+    * On a single-trigger drain (Trigger.AvailableNow over a stored table)
+    * this coincides with [[dedupVerdictBatch]]'s min-doc_id rule exactly.
+    *
+    * Scale: state is one {hash → keeper id} row per DISTINCT document — the
+    * same footprint Spark's dropDuplicates keeps, RocksDB-backed on a real
+    * cluster; shuffle is keyed by content hash so duplicates co-locate. For
+    * bounded state on endless streams, feed a watermarked input and age out
+    * with dropDuplicatesWithinWatermark upstream; this operator keeps
+    * NoTimeout because corpus dedup wants exact all-time verdicts. */
+  def dedupStream(docs: Dataset[DocKey]): Dataset[DedupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Long, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[DocKey], state: GroupState[Long]) =>
+          val ids = rows.map(_.doc_id).toArray.sorted
+          val out = state.getOption match {
+            case Some(_) => ids.iterator.map(DedupVerdict(_, hash, is_first = false))
+            case None =>
+              state.update(ids.head)
+              Iterator(DedupVerdict(ids.head, hash, is_first = true)) ++
+                ids.iterator.drop(1).map(DedupVerdict(_, hash, is_first = false))
+          }
+          out
+      }
+  }
+
+  /** Batch twin of [[dedupStream]] over (doc_id, text): keeper = min doc_id
+    * per content hash — one window over the hash shuffle, no join. */
+  def dedupVerdictBatch(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("long").as("doc_id"), md5(col("text")).as("content_hash"))
+      .withColumn("is_first",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("content_hash")))
+      .orderBy("doc_id")
+
+  /** DuckDB oracle mirroring [[dedupVerdictBatch]]. */
+  def dedupVerdictOracleSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_first
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Streaming gap-sessionization: custom per-user state via
     * `flatMapGroupsWithState` (Append + event-time timeout). Sessions closed

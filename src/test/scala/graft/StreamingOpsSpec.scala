@@ -85,4 +85,40 @@ class StreamingOpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 2L, 300L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
+
+  test("streaming dedup: arrival-order keepers, single-drain equals batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.DocKey
+
+    // two triggers: hash A keeps 5 (first trigger's min), the LATER lower-id
+    // duplicate 3 is not-first; B and C keep their own ids
+    val mem = MemoryStream[DocKey]
+    val q = StreamingOps.dedupStream(mem.toDS())
+      .writeStream.format("memory").queryName("dv").outputMode("append").start()
+    mem.addData(DocKey(7L, "A"), DocKey(5L, "A"), DocKey(11L, "B"))
+    q.processAllAvailable()
+    mem.addData(DocKey(3L, "A"), DocKey(20L, "C"))
+    q.processAllAvailable()
+    val got = spark.table("dv").as[graft.streaming.DedupVerdict].collect()
+      .map(v => (v.doc_id, v.content_hash, v.is_first)).sortBy(_._1)
+    q.stop()
+    assert(got.toSeq === Seq((3L, "A", false), (5L, "A", true), (7L, "A", false),
+      (11L, "B", true), (20L, "C", true)))
+
+    // single-trigger drain over the same rows = the batch twin's min-id rule
+    val mem2 = MemoryStream[DocKey]
+    val q2 = StreamingOps.dedupStream(mem2.toDS())
+      .writeStream.format("memory").queryName("dv1").outputMode("append").start()
+    mem2.addData(DocKey(7L, "A"), DocKey(5L, "A"), DocKey(11L, "B"),
+      DocKey(3L, "A"), DocKey(20L, "C"))
+    q2.processAllAvailable()
+    val one = spark.table("dv1").as[graft.streaming.DedupVerdict].collect()
+      .map(v => (v.doc_id, v.is_first)).sortBy(_._1)
+    q2.stop()
+    val twin = StreamingOps.dedupVerdictBatch(
+      Seq((7L, "a"), (5L, "a"), (11L, "b"), (3L, "a"), (20L, "c")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1)
+    assert(one.toSeq === twin.toSeq)
+  }
 }
