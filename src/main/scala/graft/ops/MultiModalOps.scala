@@ -164,17 +164,20 @@ object MultiModalOps {
     if (b.length < 44 ||
         b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return None
-    var i = 12
+    var i = 12L
     var rate = 0L; var channels = 0; var byteRate = 0L; var dataLen = -1L
     while (i + 8 <= b.length) {
-      val id = new String(b, i, 4, "US-ASCII")
-      val size = le32(i + 4)
+      val ii = i.toInt
+      val id = new String(b, ii, 4, "US-ASCII")
+      val size = le32(ii + 4) // unsigned: 0..2^32-1, never negative as Long
       if (id == "fmt " && i + 24 <= b.length) {
-        channels = le16(i + 10)
-        rate = le32(i + 12)
-        byteRate = le32(i + 16)
+        channels = le16(ii + 10)
+        rate = le32(ii + 12)
+        byteRate = le32(ii + 16)
       } else if (id == "data") dataLen = size
-      i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      // Long arithmetic: a hostile 32-bit size must advance monotonically
+      // past b.length and terminate, never wrap an Int back into range.
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     if (rate <= 0 || channels <= 0 || byteRate <= 0 || dataLen < 0) None
     else Some((rate.toInt, channels, dataLen * 1000L / byteRate))
@@ -201,10 +204,14 @@ object MultiModalOps {
     }
     val moov = walk(0L, b.length.toLong, "moov")
     if (moov < 0) return None
-    val moovEnd = moov - 8 + be32(moov.toInt - 8)
+    // clamp a lying moov size to the real buffer end (truncated uploads)
+    val moovEnd = math.min(moov - 8 + be32(moov.toInt - 8), b.length.toLong)
     val mvhd = walk(moov, moovEnd, "mvhd")
     if (mvhd < 0 || mvhd + 4 > b.length) return None
     val v = u8(mvhd.toInt)
+    // v1 reads through mvhd+32, v0 through mvhd+20 — bounds-check the widest
+    val need = if (v == 1) 32L else 20L
+    if (mvhd + need > b.length) return None
     val (timescale, duration) =
       if (v == 1) (be32(mvhd.toInt + 20), be64(mvhd.toInt + 24))
       else (be32(mvhd.toInt + 12), be32(mvhd.toInt + 16))

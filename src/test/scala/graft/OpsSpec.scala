@@ -311,6 +311,44 @@ class OpsSpec extends AnyFunSuite {
     assert(!frames.contains(2L))    // unparseable payloads yield no frames
   }
 
+  test("container parsers survive hostile bytes: fuzz never throws or hangs") {
+    // at corpus scale malformed media is a certainty — every parser must
+    // return an Option in bounded time on arbitrary bytes, including
+    // mutations of REAL containers (lying sizes, truncations)
+    val rng = new scala.util.Random(1234)
+    val seeds = Seq(
+      MultiModalOps.wavBytes(8000, 2, 16, 1000),
+      MultiModalOps.mp4Bytes(600, 90000),
+      MultiModalOps.pngBytes(640, 480, 6),
+      MultiModalOps.jpegBytes(320, 200, 3))
+    val cases = Iterator.fill(300) {
+      val pick = rng.nextInt(4)
+      if (pick == 0) { // pure noise
+        val a = new Array[Byte](rng.nextInt(256)); rng.nextBytes(a); a
+      } else {
+        val base = seeds(rng.nextInt(seeds.length)).clone()
+        if (pick == 1) base.take(rng.nextInt(base.length + 1)) // truncation
+        else { // byte flips — frequently corrupts a size field
+          (0 until 8).foreach(_ => base(rng.nextInt(base.length)) = rng.nextInt(256).toByte)
+          base
+        }
+      }
+    }.toSeq
+    for (c <- cases) {
+      MultiModalOps.parseWavMeta(c)
+      MultiModalOps.parseMp4Meta(c)
+      MultiModalOps.parseImageMeta(c)
+    }
+    // specifically: a WAV whose data-chunk size field claims 0xFFFFFFFF must
+    // terminate (the Int-wrap bug this guards: 8 + size.toInt walked i
+    // BACKWARDS into an infinite loop before the Long-arithmetic fix)
+    val lying = MultiModalOps.wavBytes(8000, 1, 8, 100)
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 0xFFFFFFFF)
+    assert(MultiModalOps.parseWavMeta(lying).isEmpty
+      || MultiModalOps.parseWavMeta(lying).nonEmpty) // terminated = passed
+  }
+
   test("stubbed media embeddings feed the ANN ops end-to-end") {
     val docs = chainDocs
     val emb = MultiModalOps.extractEmbeddings(spark, docs).toDF()
