@@ -162,6 +162,30 @@ object Snapshots {
     doomed
   }
 
+  /** All committed-or-staged snapshots under `root`, oldest first by staging
+    * mtime (Iceberg's snapshot log analog; the ids feed
+    * `QueryEngine.openSnapshot` for time-travel reads and [[rollback]]). */
+  def listSnapshots(root: String): Seq[Manifest] = {
+    val snapsDir = Paths.get(root, "snapshots")
+    if (!Files.isDirectory(snapsDir)) return Nil
+    listDir(snapsDir)(_.filter(Files.isDirectory(_))
+      .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      .toSeq).sortBy { case (id, mtime) => (mtime, id) }
+      .flatMap { case (id, _) => stagedManifest(root, id) }
+  }
+
+  /** Roll the current pointer back (or forward) to a retained snapshot —
+    * the same atomic pointer swap as [[commit]], refused if the target's
+    * manifest is missing (expired or never staged). Readers opened on the
+    * previous current keep working: data files are immutable and only
+    * [[expireSnapshots]] deletes them. */
+  def rollback(root: String, snapshotId: String): Manifest = {
+    val m = stagedManifest(root, snapshotId).getOrElse(throw new IllegalStateException(
+      s"snapshot $snapshotId has no manifest under $root (expired or never staged)"))
+    commit(root, snapshotId)
+    m
+  }
+
   /** Stage-completion marker: cheap resumability ledger per stage. */
   def markStageDone(root: String, snapshotId: String, stage: String): Unit = {
     val dir = stagingDir(root, snapshotId)

@@ -233,4 +233,35 @@ class SnapshotMergeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("different configurations"))
   }
+
+  test("snapshot log + rollback: listSnapshots enumerates, pointer swaps atomically") {
+    import graft.tables.Snapshots
+    val (_, rootM) = roots // staged: even, odd, merged (merged is current)
+    val ids = Snapshots.listSnapshots(rootM).map(_.snapshotId)
+    assert(ids.toSet === Set("even", "odd", "merged"))
+    assert(Snapshots.currentSnapshotId(rootM).contains("merged"))
+
+    // time-travel read on a non-current id, no pointer change
+    val qEven = QueryEngine.search(spark,
+      QueryEngine.openSnapshot(rootM, "even", spark),
+      graft.query.QuerySpec(Seq(graft.query.Subquery(include = Seq("2")))))
+    assert(qEven.nonEmpty)
+    assert(Snapshots.currentSnapshotId(rootM).contains("merged"))
+
+    // rollback = the same atomic pointer swap; open() now serves the old set
+    val m = Snapshots.rollback(rootM, "even")
+    assert(m.snapshotId === "even")
+    assert(Snapshots.currentSnapshotId(rootM).contains("even"))
+    val got = QueryEngine.search(spark, QueryEngine.open(rootM, spark),
+      graft.query.QuerySpec(Seq(graft.query.Subquery(include = Seq("2")))))
+      .map(_.url_id)
+    assert(got.nonEmpty && got.forall(_ % 2 == 0))
+
+    // roll forward again; a missing id is refused with the manifest intact
+    Snapshots.rollback(rootM, "merged")
+    assert(Snapshots.currentSnapshotId(rootM).contains("merged"))
+    val e = intercept[IllegalStateException](Snapshots.rollback(rootM, "no-such"))
+    assert(e.getMessage.contains("no manifest"))
+    assert(Snapshots.currentSnapshotId(rootM).contains("merged"))
+  }
 }
