@@ -426,6 +426,16 @@ object SparkEntry {
     "t12_temperature_sample" -> ((s, dir) =>
       TextOps.temperatureSample(docs(s, dir), alpha = 0.5, targetFrac = 0.5)),
 
+    // t13: CCNet/GPT-3-style Naive-Bayes quality classifier — target class =
+    // the English slice, scored over the whole corpus in one job
+    "t13_nb_classify" -> ((s, dir) =>
+      TextOps.nbClassify(docs(s, dir), col("lang") === "en")),
+
+    // t14: DSIR hashed-bigram importance log-weights, target = the English
+    // slice, raw = the whole corpus
+    "t14_dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(docs(s, dir), col("lang") === "en")),
+
     // t9: weighted-lexicon topic scorer (reference topic-detection testP
     // shape): a "streaming" topic over the fixture vocabulary — positive
     // topical terms, negative off-topic terms, mirroring the detectors'
@@ -1323,6 +1333,45 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t7_pack_chunks" -> TextOps.packChunksOracleSql(2048L),
+
+    // t13: the full NB train+score chain — add-1 smoothing over the corpus
+    // vocabulary, class prior log-odds, prediction gated on the ROUNDED score
+    // (the same round both engines compare on).
+    "t13_nb_classify" ->
+      """WITH base AS (SELECT doc_id, (lang = 'en') AS is_t, text FROM documents),
+        |tok AS (SELECT doc_id, is_t, unnest(string_split(text, ' ')) AS term FROM base),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |cnt AS (SELECT term, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+        |               sum(CASE WHEN is_t THEN 0 ELSE 1 END)::BIGINT AS co
+        |        FROM tok2 GROUP BY term),
+        |tot AS (SELECT sum(ct) AS t, sum(co) AS o, count(*) AS v FROM cnt),
+        |pri AS (SELECT ln(sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE)
+        |             - ln(sum(CASE WHEN is_t THEN 0 ELSE 1 END)::DOUBLE) AS prior FROM base),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY doc_id, term),
+        |s AS (SELECT doc_id, sum(tf * (ln((ct + 1)::DOUBLE / (t + v)) - ln((co + 1)::DOUBLE / (o + v)))) AS raw
+        |      FROM tf JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT b.doc_id, round(coalesce(raw, 0) + prior, 4) AS nb_score,
+        |       CAST(round(coalesce(raw, 0) + prior, 4) > 0 AS INT) AS pred_target
+        |FROM (SELECT DISTINCT doc_id FROM base) b LEFT JOIN s USING (doc_id) CROSS JOIN pri
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // t14: DSIR hashed-bigram importance weights — 8192 md5-derived buckets,
+    // add-1 smoothing, raw distribution includes the target slice.
+    "t14_dsir_weights" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS is_t, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, is_t, toks[i] || '_' || toks[i+1] AS gram
+        |      FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 1),
+        |g AS (SELECT doc_id, is_t,
+        |        ('0x' || substring(md5(gram), 1, 15))::BIGINT % 1073741824 % 8192 AS b FROM p),
+        |dist AS (SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ctb,
+        |                count(*)::BIGINT AS crb FROM g GROUP BY b),
+        |tot AS (SELECT sum(ctb) AS tt, sum(crb) AS tr FROM dist),
+        |pd AS (SELECT doc_id, b, count(*) AS n FROM g GROUP BY doc_id, b),
+        |s AS (SELECT doc_id, sum(n * (ln((ctb + 1)::DOUBLE / (tt + 8192)) - ln((crb + 1)::DOUBLE / (tr + 8192)))) AS raw
+        |      FROM pd JOIN dist USING (b) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT d2.doc_id, round(coalesce(raw, 0), 4) AS dsir_logw
+        |FROM (SELECT DISTINCT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
 
     "t12_temperature_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),

@@ -494,6 +494,88 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T13: Naive-Bayes "reference vs crawl" document classifier — the
+    * quality-filter shape of CCNet (Wenzek et al. 2020 §4.4) and the GPT-3
+    * data pipeline (Brown et al. 2020 appendix A): train a linear
+    * bag-of-words classifier with the target corpus as the positive class
+    * and the rest as negative, then score every document by the summed
+    * per-token log-likelihood ratio plus the class-prior log-odds:
+    *   score(doc) = ln(n⁺/n⁻) + Σ_tokens tf · [ln P̂(t|+) − ln P̂(t|−)],
+    * with add-1 (Laplace) smoothing over the corpus vocabulary V:
+    * P̂(t|c) = (cnt_c(t)+1)/(tot_c+|V|). Training and scoring are one job —
+    * the model IS the per-term count table.
+    *
+    * Scale: token expansion is narrow; the model is a vocabulary-keyed
+    * aggregate with map-side combine (term skew bounded by per-doc tf
+    * pre-aggregation); scoring joins the (doc,term,tf) stream with the
+    * model ON TERM — vocabulary at web scale is too large to broadcast, so
+    * the join stays an unhinted shuffle join that AQE sizes; per-doc sums
+    * are one combined agg keyed by doc. The corpus text never shuffles. */
+  def nbClassify(docs: DataFrame, targetFilter: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), targetFilter.as("is_t"), col("text"))
+    val toks = base.select(col("doc_id"), col("is_t"),
+      explode(split(col("text"), " ")).as("term")).where(col("term") =!= "")
+    val cnt = toks.groupBy("term").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("co"))
+    val tot = cnt.agg(sum("ct").as("t"), sum("co").as("o"), count(lit(1)).as("v"))
+    val prior = base.agg(
+      (log(sum(when(col("is_t"), 1L).otherwise(0L)).cast("double"))
+        - log(sum(when(col("is_t"), 0L).otherwise(1L)).cast("double"))).as("prior"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val raw = tf.join(cnt, "term").crossJoin(broadcast(tot))
+      .withColumn("llr", col("tf") * (
+        log((col("ct") + 1).cast("double") / (col("t") + col("v")).cast("double"))
+          - log((col("co") + 1).cast("double") / (col("o") + col("v")).cast("double"))))
+      .groupBy("doc_id").agg(sum("llr").as("raw"))
+    base.select(col("doc_id"))
+      .join(raw, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .withColumn("nb_score", round(coalesce(col("raw"), lit(0.0)) + col("prior"), 4))
+      // prediction from the ROUNDED score: the gate both engines compare on
+      // must be downstream of the rounding that absorbs sum-order ulp noise
+      .select(col("doc_id"), col("nb_score"),
+        (col("nb_score") > 0).cast("int").as("pred_target"))
+      .orderBy("doc_id")
+  }
+
+  /** T14: DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document hashed-bigram
+    * log importance weight between a target-domain distribution and the
+    * raw-corpus distribution, add-1-smoothed over B hash buckets:
+    *   logw(doc) = Σ_bigrams [ln p̂_target(h(g)) − ln p̂_raw(h(g))],
+    *   p̂_c(b) = (cnt_c(b)+1)/(tot_c+B),   h = h30 mod B.
+    * The paper resamples ∝ exp(logw); the deterministic pipeline analogs —
+    * a fixed log-ratio threshold gate (row-local) or o3-style global top-k —
+    * compose downstream of these weights, so the op itself never needs a
+    * global sort.
+    *
+    * Scale: bigram expansion is row-local; BOTH distributions are B-row
+    * aggregates (B is a parameter — broadcastable at any corpus size, unlike
+    * the NB vocabulary); per-doc sums are one map-side-combined agg keyed by
+    * (doc, bucket) then doc. The corpus text never shuffles. */
+  def dsirWeights(docs: DataFrame, targetFilter: Column, buckets: Int = 8192): DataFrame = {
+    val base = docs.select(col("doc_id"), targetFilter.as("is_t"),
+      split(col("text"), " ").as("toks"))
+    val grams = base.select(col("doc_id"), col("is_t"),
+      explode(gramArray(col("toks"), 2)).as("gram"))
+      .withColumn("b", h30(col("gram")) % buckets)
+    val dist = grams.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ctb"),
+      count(lit(1)).as("crb")) // raw = whole corpus, target included (paper §3)
+    val tot = dist.agg(sum("ctb").as("tt"), sum("crb").as("tr"))
+    val perDoc = grams.groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .join(broadcast(dist), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("w", col("n") * (
+        log((col("ctb") + 1).cast("double") / (col("tt") + buckets).cast("double"))
+          - log((col("crb") + 1).cast("double") / (col("tr") + buckets).cast("double"))))
+      .groupBy("doc_id").agg(sum("w").as("raw"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), round(coalesce(col("raw"), lit(0.0)), 4).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed

@@ -583,6 +583,47 @@ class OpsSpec extends AnyFunSuite {
     assert(planOf(cooled).contains("BroadcastHashJoin"), planOf(cooled))
   }
 
+  test("nbClassify: hand-checked Laplace NB scores, prediction from rounded score") {
+    import spark.implicits._
+    // vocab {aa,bb,zz,ww}, V=4; target counts aa=3 bb=1, other zz=3 ww=1,
+    // totals T=O=4, prior ln(2/2)=0; llr(aa)=ln4 llr(bb)=ln2 llr(zz)=-ln4
+    // llr(ww)=-ln2 → doc0 = 2·ln4 = ln16, doc1 = ln8, doc2 = -ln8, doc3 = -ln16
+    val docs = Seq(
+      (0L, "aa aa", "en"), (1L, "aa bb", "en"),
+      (2L, "zz ww", "fr"), (3L, "zz zz", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextOps.nbClassify(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2)))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0L) === ((r4(math.log(16)), 1)))
+    assert(got(1L) === ((r4(math.log(8)), 1)))
+    assert(got(2L) === ((r4(-math.log(8)), 0)))
+    assert(got(3L) === ((r4(-math.log(16)), 0)))
+    // train+score is aggregations and joins only — no per-doc window sort
+    val plan = planOf(TextOps.nbClassify(docs, col("lang") === "en"))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dsirWeights: target-domain bigrams weigh positive, off-domain negative, " +
+    "gram-less docs zero, deterministic") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b a b", "en"), (1L, "a b", "en"),
+      (2L, "x y x y", "fr"), (3L, "z", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val w = TextOps.dsirWeights(docs, col("lang") === "en")
+    val got = w.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc0 = 3·ln(8198/8196) > doc1 = ln(8198/8196) > 0; off-domain bigrams
+    // have target count 0 so doc2 < 0; a 1-token doc has no bigrams → 0.0
+    assert(got(0L) > got(1L) && got(1L) > 0.0, got)
+    assert(got(2L) < 0.0, got)
+    assert(got(3L) === 0.0, got)
+    assert(w.collect().toSeq ===
+      TextOps.dsirWeights(docs, col("lang") === "en").collect().toSeq)
+    val plan = planOf(w)
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("packChunks: hand fixture, per-lang streams, boundary split, no Window") {
     import spark.implicits._
     val docs = Seq(
