@@ -338,6 +338,10 @@ object SparkEntry {
         d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
     }),
 
+    // d10: RefinedWeb paragraph-level exact dedup — fixed 16-token windows,
+    // one surviving occurrence per distinct paragraph, docs reassembled
+    "d10_paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(docs(s, dir))),
+
     // c1/c2: code-corpus curation — the documents table gains a synthetic
     // repo path and header augmentations (same CASE chain mirrored in the
     // oracle, the t8 pattern) so the path/marker/minification/license
@@ -425,6 +429,10 @@ object SparkEntry {
     // larger share than their corpus fraction, head languages are cut
     "t12_temperature_sample" -> ((s, dir) =>
       TextOps.temperatureSample(docs(s, dir), alpha = 0.5, targetFrac = 0.5)),
+
+    // t15: CCNet head/middle/tail per-language quality tiers from
+    // histogram-derived group-atomic percentile cutoffs
+    "t15_ccnet_buckets" -> ((s, dir) => TextOps.ccnetBuckets(docs(s, dir))),
 
     // t13: CCNet/GPT-3-style Naive-Bayes quality classifier — target class =
     // the English slice, scored over the whole corpus in one job
@@ -1176,6 +1184,9 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_hits FROM g JOIN bench USING (span)
         |WHERE doc_id % 50 <> 0 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // d10: same fixed-window segmentation, same (doc_id, idx)-minimal keeper.
+    "d10_paragraph_dedup" -> DedupOps.paragraphDedupOracleSql(16),
+
     "d3_simhash" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -1333,6 +1344,32 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "t7_pack_chunks" -> TextOps.packChunksOracleSql(2048L),
+
+    // t15: the t2 quality score per doc, then per-lang histogram →
+    // descending-exclusive cumulative counts → group-atomic tier cutoffs.
+    "t15_ccnet_buckets" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH $TokCte,
+         |st AS (SELECT doc_id, count(*) AS n_tok, sum(length(term)) AS sum_len,
+         |  sum(CASE WHEN term IN ($stops) THEN 1 ELSE 0 END) AS n_stop
+         |  FROM tok WHERE term <> '' GROUP BY doc_id),
+         |q AS (SELECT st.doc_id,
+         |  round(CAST(0.5 AS DOUBLE) * (n_stop / CAST(n_tok AS DOUBLE))
+         |    + CAST(0.3 AS DOUBLE) * least(CAST(1.0 AS DOUBLE), n_tok / CAST(100.0 AS DOUBLE))
+         |    + (CASE WHEN sum_len / CAST(n_tok AS DOUBLE) BETWEEN 3 AND 8 THEN CAST(0.2 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS quality,
+         |  d.lang
+         |  FROM st JOIN documents d ON st.doc_id = d.doc_id),
+         |h AS (SELECT lang, quality, count(*) AS c FROM q GROUP BY lang, quality),
+         |cw AS (SELECT lang, quality,
+         |  coalesce(sum(c) OVER (PARTITION BY lang ORDER BY quality DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+         |  sum(c) OVER (PARTITION BY lang) AS n FROM h),
+         |b AS (SELECT lang, quality,
+         |  CASE WHEN cum < n / 3.0 THEN 'head'
+         |       WHEN cum < n * 2.0 / 3.0 THEN 'middle' ELSE 'tail' END AS bucket FROM cw)
+         |SELECT q.doc_id, q.lang, q.quality, b.bucket
+         |FROM q JOIN b USING (lang, quality) ORDER BY q.doc_id""".stripMargin
+    },
 
     // t13: the full NB train+score chain — add-1 smoothing over the corpus
     // vocabulary, class prior log-odds, prediction gated on the ROUNDED score

@@ -292,6 +292,63 @@ object DedupOps {
       .where(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("span"))
 
+  /** D10: paragraph-level exact deduplication — the second tier of
+    * RefinedWeb's dedup pipeline (Penedo et al. 2023 §4.3: after document
+    * dedup, "we remove duplicated spans at the paragraph level"). The corpus
+    * here is single-line token text, so the paragraph unit is a fixed
+    * non-overlapping window of `window` tokens (the last window keeps its
+    * remainder). Every distinct paragraph keeps exactly ONE occurrence — the
+    * (doc_id, idx)-minimal one — and all other occurrences are excised;
+    * documents are reassembled from their surviving windows in order.
+    * Returns (doc_id, text_clean, n_paras, n_dropped).
+    *
+    * Scale shape: window generation is row-local (one projection + generator,
+    * zero shuffle); keeper election is one map-side-combined aggregate keyed
+    * by paragraph (a min over (doc_id, idx) structs); the keep decision joins
+    * paragraphs back to keepers ON PARAGRAPH — corpus-scale on both sides, so
+    * it stays an unhinted shuffle join AQE sizes; reassembly is one aggregate
+    * keyed by doc. No window function ever touches the corpus. At 100 TB, key
+    * the election and join on h60(para) instead of the text. */
+  def paragraphDedup(docs: DataFrame, window: Int = 16): DataFrame = {
+    val paras = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, int((size(toks)-1)/$window))," +
+          s" i -> array_join(slice(toks, i*$window+1, $window), ' '))")).as(Seq("idx", "para")))
+    val keeper = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+    val kept = paras.join(keeper, "para")
+      .where(col("doc_id") === col("k.doc_id") && col("idx") === col("k.idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_sort(collect_list(struct(col("idx"), col("para")))).as("ps"))
+      .withColumn("text_clean", expr("array_join(transform(ps, s -> s.para), ' ')"))
+    paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for [[paragraphDedup]] — same windowing, same
+    * (doc_id, idx)-minimal keeper via row_number. */
+  def paragraphDedupOracleSql(window: Int = 16): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (SELECT doc_id, i AS idx,
+       |        array_to_string(toks[(i*$window+1):((i+1)*$window)], ' ') AS para
+       |      FROM d CROSS JOIN generate_series(0, 8191) AS t(i)
+       |      WHERE i <= (len(toks)-1)//$window),
+       |k AS (SELECT doc_id, idx, para,
+       |        row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn FROM w),
+       |tot AS (SELECT doc_id, count(*) AS n_paras FROM w GROUP BY doc_id),
+       |kept AS (SELECT doc_id, count(*) AS n_kept,
+       |         string_agg(para, ' ' ORDER BY idx) AS text_clean
+       |         FROM k WHERE rn = 1 GROUP BY doc_id)
+       |SELECT t.doc_id, coalesce(text_clean, '') AS text_clean, n_paras,
+       |       (n_paras - coalesce(n_kept, 0)) AS n_dropped
+       |FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   /** D8: benchmark decontamination — flag training documents that share any
     * n-token span with an evaluation set (the n-gram-overlap test-set filter
     * of GPT-3 §2.2 / PaLM app. via 8-grams; Brown et al. 2020 use 13-grams).

@@ -576,6 +576,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T15: CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): split
+    * each language's documents into three quality tiers by per-document score
+    * percentile — CCNet buckets on LM perplexity per language shard; the
+    * score here is the [[quality]] column (higher = better, so `head` is the
+    * TOP third). Bucket boundaries are group-atomic: every document sharing a
+    * (lang, rounded score) lands in the bucket where its score group STARTS
+    * in the descending cumulative count, so no within-group tiebreak exists
+    * and the result is deterministic. Returns (doc_id, lang, quality, bucket).
+    *
+    * Scale shape — the distributed-percentile pattern: the corpus reduces to
+    * a per-(lang, rounded-score) HISTOGRAM (a map-side-combined aggregate,
+    * ≤ langs × distinct rounded scores rows); the rank window runs over that
+    * histogram, never the corpus; the bucket table broadcasts back onto the
+    * score stream as a row-local gate. The corpus itself is never globally
+    * sorted and never shuffles past the score aggregation. */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val q = quality(docs).select(col("doc_id"), col("quality"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val hist = q.groupBy("lang", "quality").agg(count(lit(1)).as("c"))
+    val byLang = Window.partitionBy("lang")
+    val desc = byLang.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = hist
+      .withColumn("cum", coalesce(sum("c").over(desc), lit(0L)))
+      .withColumn("n", sum("c").over(byLang))
+      .withColumn("bucket",
+        when(col("cum") < col("n") / 3.0, "head")
+          .when(col("cum") < col("n") * 2.0 / 3.0, "middle")
+          .otherwise("tail"))
+      .select("lang", "quality", "bucket")
+    q.join(broadcast(buckets), Seq("lang", "quality"))
+      .select("doc_id", "lang", "quality", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed

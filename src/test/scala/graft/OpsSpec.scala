@@ -583,6 +583,51 @@ class OpsSpec extends AnyFunSuite {
     assert(planOf(cooled).contains("BroadcastHashJoin"), planOf(cooled))
   }
 
+  test("paragraphDedup: windowing, cross- and within-doc keepers, full-drop, no Window op") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d"),   // paras [a b][c d] — owns both keepers
+      (1L, "a b x y"),   // [a b] dup of doc0#0 → dropped; [x y] kept
+      (2L, "c d c d"),   // both windows dup doc0#1 → fully excised
+      (3L, "e"),         // short remainder window, kept
+      (4L, "z z z z z")  // [z z][z z][z]: idx1 dups THIS doc's idx0
+    ).toDF("doc_id", "text")
+    val got = DedupOps.paragraphDedup(docs, window = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === (("a b c d", 2L, 0L)))
+    assert(got(1L) === (("x y", 2L, 1L)))
+    assert(got(2L) === (("", 2L, 2L)))
+    assert(got(3L) === (("e", 1L, 0L)))
+    assert(got(4L) === (("z z z", 3L, 1L)))
+    // window generation is row-local and reassembly is a grouped agg — the
+    // corpus never meets a window function or a cartesian product
+    val plan = planOf(DedupOps.paragraphDedup(docs, 2))
+    assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ccnetBuckets: per-lang thirds, group-atomic ties, broadcast gate") {
+    import spark.implicits._
+    // quality = 0.3·min(1, n_tok/100) for all-"xx" docs (no stopwords,
+    // avg_len 2): k tokens → quality 0.003k, so ordering is by k.
+    def doc(id: Long, k: Int, lang: String) =
+      (id, Seq.fill(k)("xx").mkString(" "), lang, 3 * k - 1)
+    val docs = (Seq(10, 20, 30, 40, 50, 60).zipWithIndex.map {
+      case (k, i) => doc(i.toLong, k, "en")
+    } ++ Seq(doc(10L, 70, "fr"), doc(11L, 70, "fr"), doc(12L, 30, "fr")))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = TextOps.ccnetBuckets(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // en (n=6): top third {60,50} head, {40,30} middle, {20,10} tail
+    assert(got(5L) === "head" && got(4L) === "head")
+    assert(got(3L) === "middle" && got(2L) === "middle")
+    assert(got(1L) === "tail" && got(0L) === "tail")
+    // fr (n=3): the k=70 TIE group starts at cum 0 → BOTH head (group-atomic,
+    // even though n/3 = 1); k=30 starts at cum 2 ≥ 2n/3 → tail, middle empty
+    assert(got(10L) === "head" && got(11L) === "head" && got(12L) === "tail")
+    // the bucket table rides back onto the score stream as a broadcast gate
+    assert(planOf(TextOps.ccnetBuckets(docs)).contains("BroadcastHashJoin"))
+  }
+
   test("nbClassify: hand-checked Laplace NB scores, prediction from rounded score") {
     import spark.implicits._
     // vocab {aa,bb,zz,ww}, V=4; target counts aa=3 bb=1, other zz=3 ww=1,
