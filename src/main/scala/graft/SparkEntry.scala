@@ -342,6 +342,10 @@ object SparkEntry {
     // one surviving occurrence per distinct paragraph, docs reassembled
     "d10_paragraph_dedup" -> ((s, dir) => DedupOps.paragraphDedup(docs(s, dir))),
 
+    // d11: the composed MinHash fuzzy-dedup purge — LSH pairs → Jaccard
+    // verify → components → keep min-id representative → surviving corpus
+    "d11_fuzzy_purge" -> ((s, dir) => DedupOps.fuzzyDedupPurge(docs(s, dir), 0.5)),
+
     // c1/c2: code-corpus curation — the documents table gains a synthetic
     // repo path and header augmentations (same CASE chain mirrored in the
     // oracle, the t8 pattern) so the path/marker/minification/license
@@ -390,6 +394,9 @@ object SparkEntry {
     "v2c_banded_verify" -> ((s, dir) =>
       VectorOps.bandedCosineVerify(emb(s, dir), 0.35, bands = 4, rPlanes = 4)),
     "v4_ivf_topk" -> ((s, dir) => VectorOps.ivfTopK(emb(s, dir), 0L, 20)),
+    // v5: SQ8 scalar quantization — per-dim bounds from one aggregate, brute
+    // top-k over reconstructed codes (symmetric SQ distance)
+    "v5_sq_topk" -> ((s, dir) => VectorOps.sqTopK(emb(s, dir), 0L, 20)),
     // trained-centroid IVF, driver-checked at nProbe = k where it must equal
     // exact brute force (validates centroids, assignment map, probe
     // selection, cosine); pruned-probe recall is pinned in OpsSpec
@@ -433,6 +440,10 @@ object SparkEntry {
     // t15: CCNet head/middle/tail per-language quality tiers from
     // histogram-derived group-atomic percentile cutoffs
     "t15_ccnet_buckets" -> ((s, dir) => TextOps.ccnetBuckets(docs(s, dir))),
+
+    // t16: Gopher per-rule quality gates — word count, mean word length,
+    // alpha fraction, distinct-stopword floor, and the overall pass
+    "t16_gopher_rules" -> ((s, dir) => TextOps.gopherRules(docs(s, dir))),
 
     // t13: CCNet/GPT-3-style Naive-Bayes quality classifier — target class =
     // the English slice, scored over the whole corpus in one job
@@ -1133,7 +1144,7 @@ object SparkEntry {
     },
 
     "d2b_lsh_pairs" ->
-      s"""WITH ${DedupOps.lshCteSql}
+      s"""WITH ${DedupOps.lshCteSql()}
          |SELECT a_id, b_id FROM prs ORDER BY a_id, b_id""".stripMargin,
 
     "d4b_jaccard_verify" -> DedupOps.jaccardVerifyOracleSql(0.5),
@@ -1187,6 +1198,11 @@ object SparkEntry {
     // d10: same fixed-window segmentation, same (doc_id, idx)-minimal keeper.
     "d10_paragraph_dedup" -> DedupOps.paragraphDedupOracleSql(16),
 
+    // d11: the d4b verify chain refines LSH candidates, the d5 propagation
+    // clusters them (8 iterations suffice for d5's own oracle at this sf),
+    // non-representatives anti-joined away.
+    "d11_fuzzy_purge" -> DedupOps.fuzzyDedupPurgeOracleSql(0.5, 8),
+
     "d3_simhash" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -1225,6 +1241,23 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
         |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 20""".stripMargin,
+
+    // v5: identical quantize → reconstruct → cosine math (same expression
+    // order, so bit-identical doubles), ORDER BY the same rounded key.
+    "v5_sq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |u AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM e),
+        |dm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY d),
+        |b AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dm),
+        |r AS (SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+        |        mns[i] + (CASE WHEN mxs[i] = mns[i] THEN CAST(0.0 AS DOUBLE)
+        |          ELSE round((e[i] - mns[i]) / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE), 0) END)
+        |          * (mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)) AS re
+        |      FROM e CROSS JOIN b),
+        |q AS (SELECT re AS qe FROM r WHERE vec_id = 0)
+        |SELECT vec_id, round(list_cosine_similarity(re, qe), 4) AS cos
+        |FROM r CROSS JOIN q WHERE vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(re, qe), 4) DESC, vec_id LIMIT 20""".stripMargin,
 
     "v4b_ivf_trained" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
@@ -1369,6 +1402,27 @@ object SparkEntry {
          |       WHEN cum < n * 2.0 / 3.0 THEN 'middle' ELSE 'tail' END AS bucket FROM cw)
          |SELECT q.doc_id, q.lang, q.quality, b.bucket
          |FROM q JOIN b USING (lang, quality) ORDER BY q.doc_id""".stripMargin
+    },
+
+    // t16: the same per-doc aggregate, the same gates on the rounded values.
+    "t16_gopher_rules" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH $TokCte,
+         |g AS (SELECT doc_id, count(*) AS n_words,
+         |  round(avg(length(term)), 6) AS mean_len,
+         |  round(avg(CASE WHEN regexp_matches(term, '[a-z]') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS frac_alpha,
+         |  count(DISTINCT CASE WHEN term IN ($stops) THEN term END) AS n_stop_kinds
+         |  FROM tok WHERE term <> '' GROUP BY doc_id)
+         |SELECT doc_id, n_words, mean_len, frac_alpha, n_stop_kinds,
+         |  (n_words BETWEEN 50 AND 100000) AS pass_words,
+         |  (mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE)) AS pass_len,
+         |  (frac_alpha >= CAST(0.8 AS DOUBLE)) AS pass_alpha,
+         |  (n_stop_kinds >= 2) AS pass_stop,
+         |  ((n_words BETWEEN 50 AND 100000)
+         |    AND (mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE))
+         |    AND (frac_alpha >= CAST(0.8 AS DOUBLE))
+         |    AND (n_stop_kinds >= 2)) AS pass
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     // t13: the full NB train+score chain — add-1 smoothing over the corpus

@@ -142,9 +142,10 @@ object DedupOps {
     componentsFromPairs(lshCandidatePairs(docs), maxIters)
 
   /** Shared DuckDB CTE chain (tokens → shingles → minhash sigs → bands →
-    * distinct candidate pairs `prs`) — the oracle-side mirror of
-    * [[lshCandidatePairs]], reused by d2b/d4b/d5. */
-  def lshCteSql: String = {
+    * distinct candidate pairs, named `pairsName`) — the oracle-side mirror of
+    * [[lshCandidatePairs]], reused by d2b/d4b/d5/d11. The name parameter lets
+    * a composing oracle (d11) refine the candidates into its own `prs`. */
+  def lshCteSql(pairsName: String = "prs"): String = {
     val mins = Perms.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $MinHashP) AS mh$j"
     }.mkString(", ")
@@ -161,13 +162,13 @@ object DedupOps {
        |  SELECT doc_id, 1, mh2 * 31 + mh3 FROM sig UNION ALL
        |  SELECT doc_id, 2, mh4 * 31 + mh5 FROM sig UNION ALL
        |  SELECT doc_id, 3, mh6 * 31 + mh7 FROM sig),
-       |prs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |$pairsName AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)""".stripMargin
   }
 
   /** Matching DuckDB oracle for [[jaccardVerify]] over [[lshCandidatePairs]]. */
   def jaccardVerifyOracleSql(minJaccard: Double): String =
-    s"""WITH ${lshCteSql},
+    s"""WITH ${lshCteSql()},
        |t AS (SELECT DISTINCT doc_id, term FROM p WHERE term <> ''),
        |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
        |inter AS (SELECT pr.a_id, pr.b_id, count(*) AS inter FROM prs pr
@@ -185,7 +186,7 @@ object DedupOps {
     * least the propagation depth the data needs — the Spark side runs to
     * fixpoint, so any sufficient count matches. */
   def dedupComponentsOracleSql(iters: Int): String =
-    labelPropagationSql(lshCteSql, iters,
+    labelPropagationSql(lshCteSql(), iters,
       s"SELECT doc_id, component FROM l$iters ORDER BY doc_id")
 
   /** DuckDB min-label-propagation chain over a candidate-pair CTE: the caller
@@ -349,6 +350,56 @@ object DedupOps {
        |       (n_paras - coalesce(n_kept, 0)) AS n_dropped
        |FROM tot t LEFT JOIN kept USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** D11: end-to-end fuzzy-dedup purge — the composed "run MinHash dedup over
+    * my corpus and hand the corpus back" artifact (the document-level fuzzy
+    * dedup of MassiveText, Rae et al. 2021 §A1.2, and RefinedWeb, Penedo et
+    * al. 2023 §4.3). Banded MinHash-LSH proposes candidate pairs (d2b), exact
+    * token-set Jaccard verifies them at `minJaccard` (d4b), verified pairs
+    * group into duplicate clusters by min-label propagation (d5), each
+    * cluster keeps its min-doc_id representative, and every other member is
+    * purged. Returns the surviving (doc_id, lang, n_chars), ordered.
+    *
+    * Scale shape: each stage is the d-family scale path — the LSH shuffle is
+    * keyed (band, value) so occupancy is bounded by true cluster size; the
+    * Jaccard verify semi-joins token sets down to paired docs before its two
+    * id-keyed joins; propagation is one shuffle per iteration over pair rows
+    * only. The final purge is a LEFT ANTI join on the dropped-id set, which
+    * at web dup rates is far smaller than the corpus, so AQE broadcasts it —
+    * the corpus itself never shuffles. */
+  def fuzzyDedupPurge(docs: DataFrame, minJaccard: Double = 0.5,
+                      maxIters: Int = 64): DataFrame = {
+    val verified = jaccardVerify(docs, lshCandidatePairs(docs), minJaccard)
+      .select(col("a_id"), col("b_id"))
+    val dropped = componentsFromPairs(verified, maxIters)
+      .where(col("doc_id") =!= col("component"))
+      .select("doc_id")
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  /** The DuckDB oracle for [[fuzzyDedupPurge]]: the d4b verify chain refines
+    * LSH candidates into `prs`, the d5 label propagation clusters them, and
+    * non-representative members are anti-joined away. */
+  def fuzzyDedupPurgeOracleSql(minJaccard: Double, iters: Int): String = {
+    val prsCtes =
+      s"""${lshCteSql("cand")},
+         |t AS (SELECT DISTINCT doc_id, term FROM p WHERE term <> ''),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM t GROUP BY doc_id),
+         |inter AS (SELECT pr.a_id, pr.b_id, count(*) AS inter FROM cand pr
+         |  JOIN t ta ON ta.doc_id = pr.a_id
+         |  JOIN t tb ON tb.doc_id = pr.b_id AND tb.term = ta.term
+         |  GROUP BY pr.a_id, pr.b_id),
+         |prs AS (SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a_id JOIN sz sb ON sb.doc_id = i.b_id
+         |  WHERE round(i.inter / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), 6)
+         |        >= CAST($minJaccard AS DOUBLE))""".stripMargin
+    labelPropagationSql(prsCtes, iters,
+      s"""SELECT d2.doc_id, d2.lang, d2.n_chars FROM documents d2
+         |WHERE d2.doc_id NOT IN (SELECT doc_id FROM l$iters WHERE doc_id <> component)
+         |ORDER BY d2.doc_id""".stripMargin)
+  }
+
   /** D8: benchmark decontamination — flag training documents that share any
     * n-token span with an evaluation set (the n-gram-overlap test-set filter
     * of GPT-3 §2.2 / PaLM app. via 8-grams; Brown et al. 2020 use 13-grams).
@@ -371,4 +422,5 @@ object DedupOps {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
 }

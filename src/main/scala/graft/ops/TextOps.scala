@@ -611,6 +611,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T16: Gopher quality-rule gates (Rae et al. 2021, App. A Table A1)
+    * adapted to single-line token text: word count in [minWords, maxWords],
+    * mean word length in [minMeanLen, maxMeanLen], ≥ minAlphaFrac of words
+    * containing an alphabetic character, and at least minStopKinds DISTINCT
+    * stopwords (Gopher's "contains at least 2 of the stop words" rule).
+    * Gopher's repetition rules live in [[repetition]] (t5) and its line-level
+    * rules don't apply to single-line text. Returns the per-rule booleans and
+    * the overall `pass` so a pipeline can gate or audit rule-by-rule.
+    *
+    * Scale shape: one map-side-combined aggregate per doc over the token
+    * stream; every gate is then a row-local comparison. Nothing shuffles but
+    * the per-doc summary rows. */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopKinds: Long = 2L): DataFrame =
+    tokens(docs).groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        round(avg(length(col("term"))), 6).as("mean_len"),
+        round(avg(when(col("term").rlike("[a-z]"), 1.0).otherwise(0.0)), 6).as("frac_alpha"),
+        countDistinct(when(col("term").isin(EnStopwords: _*), col("term"))).as("n_stop_kinds"))
+      .withColumn("pass_words", col("n_words").between(minWords, maxWords))
+      .withColumn("pass_len", col("mean_len").between(minMeanLen, maxMeanLen))
+      .withColumn("pass_alpha", col("frac_alpha") >= minAlphaFrac)
+      .withColumn("pass_stop", col("n_stop_kinds") >= minStopKinds)
+      .withColumn("pass",
+        col("pass_words") && col("pass_len") && col("pass_alpha") && col("pass_stop"))
+      .orderBy("doc_id")
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed

@@ -337,4 +337,54 @@ object VectorOps {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  // --- V5: 8-bit scalar quantization (the SQ8 of FAISS-style serving) -------
+
+  /** Per-dimension [min, max] bounds as two ALIGNED array columns (one row).
+    * One map-side-combined aggregate reduced to dim rows, re-assembled into
+    * arrays — at 100 TB this is the whole training cost of SQ8. */
+  def sqBounds(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
+        expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
+
+  /** 8-bit codes: code_d = round((x_d − mn_d) / (mx_d − mn_d) · 255)
+    * (degenerate dims → 0). Row-local against the broadcast one-row bounds —
+    * 4 bytes/dim at rest and on the wire becomes 1. */
+  def sqQuantize(emb: DataFrame, bounds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        "transform(embedding, (x, d) -> CASE WHEN mxs[d] = mns[d] THEN 0 " +
+          "ELSE cast(round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) as int) END)"
+      ).as("codes"))
+
+  /** Reconstructed vectors x̂_d = mn_d + code_d · (mx_d − mn_d) / 255 —
+    * the asymmetric-distance decode, kept in double and in the exact
+    * expression order the DuckDB oracle mirrors (bit-identical). */
+  def sqReconstruct(emb: DataFrame, bounds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(
+        "transform(embedding, (x, d) -> mns[d] + " +
+          "(CASE WHEN mxs[d] = mns[d] THEN 0.0D " +
+          "ELSE round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) END)" +
+          " * (mxs[d] - mns[d]) / 255.0D)"
+      ).as("re"))
+
+  /** Brute top-k by cosine over SQ8-RECONSTRUCTED vectors (query quantized
+    * too — symmetric SQ distance). The scale story: the corpus scan reads
+    * 1-byte codes instead of floats; recall loss is bounded by per-dim
+    * quantization error (≤ (mx−mn)/510 per coordinate). Composes with the
+    * IVF family: quantize within cells for IVF-SQ. */
+  def sqTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val rec = sqReconstruct(emb, sqBounds(emb))
+    val q = rec.where(col("vec_id") === queryId).select(col("re").as("qe"))
+    rec.where(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("re"), col("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
 }

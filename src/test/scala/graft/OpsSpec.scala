@@ -404,6 +404,35 @@ class OpsSpec extends AnyFunSuite {
     ()
   }
 
+  test("SQ8: codes in range, reconstruction within per-dim error bound, recall high") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bounds = VectorOps.sqBounds(emb)
+    val Array(brow) = bounds.collect()
+    val mns = brow.getSeq[Double](0); val mxs = brow.getSeq[Double](1)
+    // codes are genuine 8-bit
+    val codes = VectorOps.sqQuantize(emb.where(col("vec_id") < 50), bounds).collect()
+    assert(codes.forall(_.getSeq[Int](1).forall(c => c >= 0 && c <= 255)))
+    // reconstruction error ≤ half a quantization step per dimension
+    val joined = VectorOps.sqReconstruct(emb.where(col("vec_id") < 50), bounds).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val orig = emb.where(col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    orig.foreach { case (id, xs) =>
+      joined(id).zip(xs).zipWithIndex.foreach { case ((rec, x), d) =>
+        val step = (mxs(d) - mns(d)) / 255.0
+        assert(math.abs(rec - x) <= step / 2 + 1e-9,
+          s"vec $id dim $d: |${rec} - $x| > ${step / 2}")
+      }
+    }
+    // SQ8 search ranks ≈ exact search: recall@20 stays high on the fixture
+    val brute = VectorOps.annTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
+    val sq = VectorOps.sqTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall@20 too low: $recall")
+    // bounds aggregate broadcasts; the corpus is never joined to itself
+    assert(!planOf(VectorOps.sqTopK(emb, 0L, 20)).contains("CartesianProduct"))
+  }
+
   test("ivfTopK recall@20 vs brute force is the expected deterministic value") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = VectorOps.annTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
@@ -603,6 +632,48 @@ class OpsSpec extends AnyFunSuite {
     // corpus never meets a window function or a cartesian product
     val plan = planOf(DedupOps.paragraphDedup(docs, 2))
     assert(!plan.contains("Window") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("fuzzyDedupPurge: keeps one representative per cluster, corpus anti-joined") {
+    import spark.implicits._
+    val shared = (0 until 12).map(k => s"w$k").mkString(" ")
+    val docs = Seq(
+      (0L, shared, "en", 50),          // cluster {0,1,2}: identical text
+      (1L, shared, "en", 50),
+      (2L, shared, "fr", 50),
+      (3L, (100 until 112).map(k => s"u$k").mkString(" "), "en", 50) // unique
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = DedupOps.fuzzyDedupPurge(docs, 0.5).collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(0L, 3L), s"min-id representative + unique survive: $got")
+    // composition identity: dropped set == non-min component members from the
+    // standalone d5 components over the same verified pairs
+    val dropped = DedupOps.componentsFromPairs(
+      DedupOps.jaccardVerify(docs, DedupOps.lshCandidatePairs(docs), 0.5)
+        .select(col("a_id"), col("b_id")))
+      .where(col("doc_id") =!= col("component")).collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(1L, 2L))
+    assert(!planOf(DedupOps.fuzzyDedupPurge(docs, 0.5)).contains("CartesianProduct"))
+  }
+
+  test("gopherRules: each gate trips on its own fixture doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the of " + (0 until 58).map(k => s"word$k").mkString(" ")), // passes all
+      (1L, "the of word1 word2"),                            // too few words
+      (2L, Seq.fill(60)("a").mkString(" ")),                 // mean_len 1, one stop kind
+      (3L, "the of " + Seq.fill(58)("123456").mkString(" ")) // alpha frac 2/60 < 0.8
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getBoolean(5), r(id).getBoolean(6),
+      r(id).getBoolean(7), r(id).getBoolean(8), r(id).getBoolean(9))
+    assert(flags(0L) === ((true, true, true, true, true)))
+    assert(flags(1L) === ((false, true, true, true, false)))
+    assert(flags(2L) === ((true, false, true, false, false)))
+    assert(flags(3L) === ((true, true, false, true, false)))
+    // one per-doc aggregate, row-local gates: no join, no window
+    val plan = planOf(TextOps.gopherRules(docs))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
   }
 
   test("ccnetBuckets: per-lang thirds, group-atomic ties, broadcast gate") {
