@@ -346,6 +346,11 @@ object SparkEntry {
     // verify → components → keep min-id representative → surviving corpus
     "d11_fuzzy_purge" -> ((s, dir) => DedupOps.fuzzyDedupPurge(docs(s, dir), 0.5)),
 
+    // d12: Bloom-filter cross-corpus dedup (Dolma BFF shape) — even-id docs
+    // populate the filter, odd-id docs are tested against it
+    "d12_bloom_dedup" -> ((s, dir) =>
+      DedupOps.bloomDedup(docs(s, dir), col("doc_id") % 2 === 0)),
+
     // c1/c2: code-corpus curation — the documents table gains a synthetic
     // repo path and header augmentations (same CASE chain mirrored in the
     // oracle, the t8 pattern) so the path/marker/minification/license
@@ -397,6 +402,20 @@ object SparkEntry {
     // v5: SQ8 scalar quantization — per-dim bounds from one aggregate, brute
     // top-k over reconstructed codes (symmetric SQ distance)
     "v5_sq_topk" -> ((s, dir) => VectorOps.sqTopK(emb(s, dir), 0L, 20)),
+    // v5b: persisted IVF-SQ (FAISS IVFx,SQ8 shape) — driver-checked at
+    // nProbe = k where the probe set covers every cell, so the result must
+    // equal the SQ8 brute force (validates codes, decode, probe pruning);
+    // pruned-probe recall and partition pruning are pinned in specs
+    "v5b_ivf_sq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val root = cachedSnapshot(dir, "ivfsq") { r =>
+        VectorOps.buildIvfSqIndex(e, r, k = 8, iters = 4)
+      }
+      val q = e.where(col("vec_id") === 0L).select(col("embedding"))
+        .collect()(0).getSeq[Float](0).toArray
+      VectorOps.ivfSqIndexTopK(s, root, q, 21, nProbe = 8)
+        .where(col("vec_id") =!= 0L)
+    }),
     // trained-centroid IVF, driver-checked at nProbe = k where it must equal
     // exact brute force (validates centroids, assignment map, probe
     // selection, cosine); pruned-probe recall is pinned in OpsSpec
@@ -444,6 +463,18 @@ object SparkEntry {
     // t16: Gopher per-rule quality gates — word count, mean word length,
     // alpha fraction, distinct-stopword floor, and the overall pass
     "t16_gopher_rules" -> ((s, dir) => TextOps.gopherRules(docs(s, dir))),
+
+    // t17: bigram-LM log-perplexity (CCNet's LM quality filter) — model
+    // trained on the English slice, every doc scored in the same job
+    "t17_lm_logppl" -> ((s, dir) =>
+      TextOps.lmLogPpl(docs(s, dir), col("lang") === "en")),
+
+    // t18: C4 heuristic cleaning gates. The corpus text is punctuation-free,
+    // so the query plants the markers each rule fires on (terminal
+    // punctuation, a brace, lorem ipsum, a blocklist word) from doc_id —
+    // the same CASE chain mirrored in the oracle (the t8/t11 pattern).
+    "t18_c4_rules" -> ((s, dir) =>
+      TextOps.c4Rules(docs(s, dir).withColumn("text", expr(C4PlantExpr)))),
 
     // t13: CCNet/GPT-3-style Naive-Bayes quality classifier — target class =
     // the English slice, scored over the whole corpus in one job
@@ -791,6 +822,34 @@ object SparkEntry {
   private def topicLexiconValues: String =
     TopicLexicon.toSeq.sortBy(_._1)
       .map { case (t, v) => s"('$t', ${v}::DOUBLE)" }.mkString(", ")
+
+  /** v5/v5b shared oracle: SQ8 quantize → reconstruct → symmetric cosine
+    * top-k, the same expression order as VectorOps' SqReExpr so the doubles
+    * are bit-identical. */
+  private val SqTopKOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      |u AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM e),
+      |dm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY d),
+      |b AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dm),
+      |r AS (SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
+      |        mns[i] + (CASE WHEN mxs[i] = mns[i] THEN CAST(0.0 AS DOUBLE)
+      |          ELSE round((e[i] - mns[i]) / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE), 0) END)
+      |          * (mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)) AS re
+      |      FROM e CROSS JOIN b),
+      |q AS (SELECT re AS qe FROM r WHERE vec_id = 0)
+      |SELECT vec_id, round(list_cosine_similarity(re, qe), 4) AS cos
+      |FROM r CROSS JOIN q WHERE vec_id <> 0
+      |ORDER BY round(list_cosine_similarity(re, qe), 4) DESC, vec_id LIMIT 20""".stripMargin
+
+  /** t18 planted C4 markers — identical SQL text on both engines; each
+    * branch trips exactly one rule (terminal punctuation satisfies, the
+    * others violate). */
+  private val C4PlantExpr: String =
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' end.' " +
+      "WHEN doc_id % 7 = 0 THEN text || ' { code }' " +
+      "WHEN doc_id % 11 = 0 THEN text || ' lorem ipsum dolor' " +
+      "WHEN doc_id % 13 = 0 THEN text || ' nsfwplaceholder' " +
+      "ELSE text END"
 
   /** t11 planted date string — identical SQL text on both engines. Mode 2's
     * second year goes invalid past 2027, collapsing to the single-year
@@ -1203,6 +1262,10 @@ object SparkEntry {
     // non-representatives anti-joined away.
     "d11_fuzzy_purge" -> DedupOps.fuzzyDedupPurgeOracleSql(0.5, 8),
 
+    // d12: set-membership over the seen side's DISTINCT probe positions —
+    // exactly what the Spark side's bitset encodes, bit for bit.
+    "d12_bloom_dedup" -> DedupOps.bloomDedupOracleSql("doc_id % 2 = 0", 1L << 18, 3),
+
     "d3_simhash" ->
       s"""WITH $TokCte,
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term),
@@ -1244,20 +1307,11 @@ object SparkEntry {
 
     // v5: identical quantize → reconstruct → cosine math (same expression
     // order, so bit-identical doubles), ORDER BY the same rounded key.
-    "v5_sq_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |u AS (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS d FROM e),
-        |dm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM u GROUP BY d),
-        |b AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM dm),
-        |r AS (SELECT vec_id, list_transform(generate_series(1, len(e)), i ->
-        |        mns[i] + (CASE WHEN mxs[i] = mns[i] THEN CAST(0.0 AS DOUBLE)
-        |          ELSE round((e[i] - mns[i]) / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE), 0) END)
-        |          * (mxs[i] - mns[i]) / CAST(255.0 AS DOUBLE)) AS re
-        |      FROM e CROSS JOIN b),
-        |q AS (SELECT re AS qe FROM r WHERE vec_id = 0)
-        |SELECT vec_id, round(list_cosine_similarity(re, qe), 4) AS cos
-        |FROM r CROSS JOIN q WHERE vec_id <> 0
-        |ORDER BY round(list_cosine_similarity(re, qe), 4) DESC, vec_id LIMIT 20""".stripMargin,
+    "v5_sq_topk" -> SqTopKOracleSql,
+
+    // v5b: probed at nProbe = k (every cell), the persisted IVF-SQ result
+    // must equal the SQ8 brute force — the exact v5 oracle.
+    "v5b_ivf_sq" -> SqTopKOracleSql,
 
     "v4b_ivf_trained" ->
       """WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
@@ -1424,6 +1478,42 @@ object SparkEntry {
          |    AND (n_stop_kinds >= 2)) AS pass
          |FROM g ORDER BY doc_id""".stripMargin
     },
+
+    // t17: the same bigram model — add-1 smoothing with a corpus-wide
+    // distinct-token V, unseen histories at uniform 1/V, mean gated on the
+    // ROUNDED value both engines compare on.
+    "t17_lm_logppl" ->
+      """WITH d AS (SELECT doc_id, (lang = 'en') AS is_t, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, is_t, toks[i] AS w1, toks[i+1] AS w2
+        |      FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 1),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM p WHERE is_t GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM p WHERE is_t GROUP BY w1),
+        |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM d)),
+        |pd AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY doc_id, w1, w2),
+        |s AS (SELECT doc_id,
+        |        -sum(n * ln((coalesce(c2, 0) + 1)::DOUBLE / (coalesce(c1, 0) + v)::DOUBLE)) / sum(n) AS raw
+        |      FROM pd LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+        |      GROUP BY doc_id)
+        |SELECT d2.doc_id, round(coalesce(raw, 0), 4) AS lm_logppl
+        |FROM (SELECT DISTINCT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id)
+        |ORDER BY d2.doc_id""".stripMargin,
+
+    // t18: the same planted markers, the same row-local gates.
+    "t18_c4_rules" ->
+      s"""WITH aug AS (SELECT doc_id, $C4PlantExpr AS text FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(string_split(text, ' '), t -> t <> ''))::BIGINT AS n_words,
+         |  regexp_matches(text, '[.!?"]$$') AS pass_terminal,
+         |  NOT contains(text, '{') AS pass_brace,
+         |  NOT contains(lower(text), 'lorem ipsum') AS pass_lorem,
+         |  NOT list_contains(string_split(lower(text), ' '), 'nsfwplaceholder') AS pass_words_clean,
+         |  (len(list_filter(string_split(text, ' '), t -> t <> '')) >= 5) AS pass_min_words,
+         |  (regexp_matches(text, '[.!?"]$$')
+         |    AND NOT contains(text, '{')
+         |    AND NOT contains(lower(text), 'lorem ipsum')
+         |    AND NOT list_contains(string_split(lower(text), ' '), 'nsfwplaceholder')
+         |    AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 5) AS pass
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     // t13: the full NB train+score chain — add-1 smoothing over the corpus
     // vocabulary, class prior log-odds, prediction gated on the ROUNDED score

@@ -423,4 +423,85 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  // --- D12: Bloom-filter cross-corpus dedup (the BFF of Dolma) --------------
+
+  /** The `i`-th Bloom probe position for a text column: an independent
+    * md5-derived hash (seed prefixed) mod `mBits`. Identical in DuckDB:
+    * `('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || text), 1, 15))::BIGINT % mBits`. */
+  private def bloomPos(text: Column, i: Int, mBits: Long): Column =
+    TextOps.h60(concat(lit(s"$i#"), text)) % mBits
+
+  /** Build the Bloom bitset (as `mBits/64` longs, one row, column `bits`)
+    * over the k probe positions of every `seen` document text. This IS the
+    * 100 TB artifact: a trillion-entry seen-set compresses to `mBits` bits
+    * (FP-rate-tunable), built by one pass + a constant-size OR-merge —
+    * against it, dedup of a new crawl needs no join at all. */
+  def bloomBitset(seen: DataFrame, mBits: Long, k: Int): DataFrame = {
+    require(mBits % 64 == 0 && mBits <= (1L << 30), s"mBits=$mBits")
+    val words = (mBits / 64).toInt
+    val posCols = (0 until k).map(i => bloomPos(col("text"), i, mBits))
+    val spark = seen.sparkSession
+    import spark.implicits._
+    // per-partition imperative bitset build + constant-size OR-fold — the
+    // one genuinely RDD-shaped step (a mutable fixed-size accumulator)
+    val positions = seen.select(explode(array(posCols: _*)).as("pos")).as[Long]
+    val bits = positions.rdd
+      .mapPartitions { it =>
+        val b = new Array[Long](words)
+        it.foreach(pos => b((pos >>> 6).toInt) |= (1L << (pos & 63)))
+        Iterator.single(b)
+      }
+      .fold(new Array[Long](words)) { (a, b) =>
+        var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
+      }
+    Seq(Tuple1(bits)).toDF("bits")
+  }
+
+  /** D12: Bloom-filter dedup — the Bloom-filter paragraph/document dedup of
+    * Dolma's BFF (Soldaini et al. 2024 §2, "bff") and the fuzzy dedup of
+    * earlier CC pipelines: documents matching `seenFilter` populate a Bloom
+    * filter of `mBits` bits with `k` probes per doc; every OTHER document is
+    * flagged `maybe_dup` when ALL k of its probe bits are already set. No
+    * false negatives (an exact text match always flags); false positives at
+    * the standard (1−e^{−kn/m})^k rate, tunable via mBits.
+    *
+    * Scale shape: the seen side reduces to a constant-size bitset (one
+    * narrow pass + OR-fold); the candidate side tests k row-local bit
+    * probes against the BROADCAST bitset riding the scan — the corpus never
+    * shuffles and never joins. Contrast [[decontaminate]], whose broadcast
+    * grows with the benchmark; the Bloom side stays `mBits` forever. */
+  def bloomDedup(docs: DataFrame, seenFilter: Column,
+                 mBits: Long = 1L << 18, k: Int = 3): DataFrame = {
+    val bits = bloomBitset(docs.where(seenFilter), mBits, k)
+    val hit = (0 until k).map { i =>
+      expr(s"(shiftright(element_at(bits, cast(shiftrightunsigned(" +
+        s"${posSql(i, mBits)}, 6) + 1 as int)), " +
+        s"cast(${posSql(i, mBits)} & 63 as int)) & 1) = 1")
+    }.reduce(_ && _)
+    docs.where(!seenFilter)
+      .crossJoin(broadcast(bits))
+      .select(col("doc_id"), hit.as("maybe_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL text of [[bloomPos]] for use inside expr() / the DuckDB oracle. */
+  private def posSql(i: Int, mBits: Long): String =
+    s"(cast(conv(substring(md5(concat('$i#', text)), 1, 15), 16, 10) as bigint) % ${mBits}L)"
+
+  /** DuckDB oracle for [[bloomDedup]]: bit-positions of the seen side as a
+    * DISTINCT set; a candidate is maybe_dup when all k of its positions are
+    * members — set-membership is exactly what the bitset encodes. */
+  def bloomDedupOracleSql(seenSql: String, mBits: Long, k: Int): String =
+    s"""WITH pos AS (
+       |  SELECT doc_id, ($seenSql) AS is_seen,
+       |    ('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || text), 1, 15))::BIGINT % $mBits AS pos
+       |  FROM documents CROSS JOIN generate_series(0, ${k - 1}) AS t(i)),
+       |seen AS (SELECT DISTINCT pos FROM pos WHERE is_seen),
+       |hits AS (SELECT doc_id, count(*) AS n FROM pos p
+       |  WHERE NOT is_seen AND pos IN (SELECT pos FROM seen)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(h.n, 0) = $k AS maybe_dup
+       |FROM (SELECT doc_id FROM documents WHERE NOT ($seenSql)) d
+       |LEFT JOIN hits h USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 }

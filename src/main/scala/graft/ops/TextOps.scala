@@ -641,6 +641,82 @@ object TextOps {
         col("pass_words") && col("pass_len") && col("pass_alpha") && col("pass_stop"))
       .orderBy("doc_id")
 
+  /** T17: bigram-LM log-perplexity scoring — the actual LM quality filter of
+    * CCNet (Wenzek et al. 2020 §4.4 scores each paragraph with a KenLM model
+    * trained on Wikipedia and buckets by perplexity; [[ccnetBuckets]] is the
+    * bucketing, this is the scorer): train an add-1-smoothed bigram language
+    * model on the target slice, then score every document by its mean
+    * negative log bigram probability
+    *   logppl(doc) = −(1/|G|) Σ_{(w1,w2)∈G} ln P̂(w2|w1),
+    *   P̂(w2|w1) = (C(w1,w2)+1) / (C(w1)+|V|)
+    * with C counted on the TARGET slice only and |V| = the corpus-wide
+    * distinct-token count (unseen histories back off to uniform 1/|V|).
+    * Lower = more target-like. Docs with <2 tokens score 0.
+    *
+    * Scale: the model is two aggregates over the target slice only (bigram
+    * and history counts); scoring left-joins the corpus bigram stream
+    * against them keyed by gram — a web-scale vocabulary is too large to
+    * broadcast, so the join stays an AQE-sized shuffle join with per-doc
+    * (w1,w2) pre-aggregation bounding skew; per-doc means are one map-side
+    * combined agg. The corpus text itself never shuffles. */
+  def lmLogPpl(docs: DataFrame, targetFilter: Column): DataFrame = {
+    val base = docs.select(col("doc_id"), targetFilter.as("is_t"),
+      split(col("text"), " ").as("toks"))
+    val pairs = base.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("is_t"), explode(expr(
+        "transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("p"))
+      .select(col("doc_id"), col("is_t"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = pairs.where(col("is_t")).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("c2"))
+    val c1 = pairs.where(col("is_t")).groupBy("w1")
+      .agg(count(lit(1)).as("c1"))
+    val vdf = base.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val scored = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("n"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vdf))
+      .withColumn("lp", col("n") * log(
+        (coalesce(col("c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")))
+      .groupBy("doc_id").agg((-sum("lp") / sum("n")).as("raw"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("raw"), lit(0.0)), 4).as("lm_logppl"))
+      .orderBy("doc_id")
+  }
+
+  /** T18: C4-style heuristic cleaning gates (Raffel et al. 2020 §2.2)
+    * adapted to single-line token text: ends in terminal punctuation
+    * (C4's "retain lines ending in terminal punctuation"), at least
+    * `minWords` words (C4 discards pages with <3 sentences / lines with <5
+    * words), no curly brace (C4 removes any page containing "{" as a code
+    * marker), no "lorem ipsum", and no blocked word (C4 filters on a
+    * blocklist; `badWords` is the caller-supplied stand-in). Returns the
+    * per-rule booleans and the overall `pass`, rule-by-rule auditable like
+    * [[gopherRules]]. Every gate is a row-local expression riding the scan —
+    * nothing shuffles. */
+  def c4Rules(docs: DataFrame, minWords: Long = 5L,
+              badWords: Seq[String] = Seq("nsfwplaceholder")): DataFrame = {
+    val lowered = lower(col("text"))
+    val badHit = badWords.map(w => array_contains(split(lowered, " "), w))
+      .reduce(_ || _)
+    docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_words"),
+        col("text").rlike("[.!?\"]$").as("pass_terminal"),
+        (!col("text").contains("{")).as("pass_brace"),
+        (!lowered.contains("lorem ipsum")).as("pass_lorem"),
+        (!badHit).as("pass_words_clean"))
+      .withColumn("pass_min_words", col("n_words") >= minWords)
+      .withColumn("pass",
+        col("pass_terminal") && col("pass_brace") && col("pass_lorem") &&
+          col("pass_words_clean") && col("pass_min_words"))
+      .orderBy("doc_id")
+  }
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed

@@ -351,27 +351,36 @@ object VectorOps {
         expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
 
+  /** Quantize expression (embedding, mns, mxs in scope → array<int> codes). */
+  private val SqCodeExpr =
+    "transform(embedding, (x, d) -> CASE WHEN mxs[d] = mns[d] THEN 0 " +
+      "ELSE cast(round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) as int) END)"
+
+  /** One-shot quantize+reconstruct expression (from the raw embedding). */
+  private val SqReExpr =
+    "transform(embedding, (x, d) -> mns[d] + " +
+      "(CASE WHEN mxs[d] = mns[d] THEN 0.0D " +
+      "ELSE round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) END)" +
+      " * (mxs[d] - mns[d]) / 255.0D)"
+
+  /** Decode expression from STORED codes — the same multiply/divide order as
+    * [[SqReExpr]], so a persisted code round-trips to the identical double. */
+  private val SqDecodeExpr =
+    "transform(codes, (c, d) -> mns[d] + cast(c as double) * (mxs[d] - mns[d]) / 255.0D)"
+
   /** 8-bit codes: code_d = round((x_d − mn_d) / (mx_d − mn_d) · 255)
     * (degenerate dims → 0). Row-local against the broadcast one-row bounds —
     * 4 bytes/dim at rest and on the wire becomes 1. */
   def sqQuantize(emb: DataFrame, bounds: DataFrame): DataFrame =
     emb.crossJoin(broadcast(bounds))
-      .select(col("vec_id"), expr(
-        "transform(embedding, (x, d) -> CASE WHEN mxs[d] = mns[d] THEN 0 " +
-          "ELSE cast(round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) as int) END)"
-      ).as("codes"))
+      .select(col("vec_id"), expr(SqCodeExpr).as("codes"))
 
   /** Reconstructed vectors x̂_d = mn_d + code_d · (mx_d − mn_d) / 255 —
     * the asymmetric-distance decode, kept in double and in the exact
     * expression order the DuckDB oracle mirrors (bit-identical). */
   def sqReconstruct(emb: DataFrame, bounds: DataFrame): DataFrame =
     emb.crossJoin(broadcast(bounds))
-      .select(col("vec_id"), expr(
-        "transform(embedding, (x, d) -> mns[d] + " +
-          "(CASE WHEN mxs[d] = mns[d] THEN 0.0D " +
-          "ELSE round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) END)" +
-          " * (mxs[d] - mns[d]) / 255.0D)"
-      ).as("re"))
+      .select(col("vec_id"), expr(SqReExpr).as("re"))
 
   /** Brute top-k by cosine over SQ8-RECONSTRUCTED vectors (query quantized
     * too — symmetric SQ distance). The scale story: the corpus scan reads
@@ -384,6 +393,64 @@ object VectorOps {
     rec.where(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), round(cosine(col("re"), col("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  // --- V5b: persisted IVF-SQ index (coarse quantizer + 1-byte codes) --------
+
+  /** Persisted IVF-SQ index — the FAISS `IVFx,SQ8` serving shape: trained
+    * coarse centroids ([[kmeansCentroids]]) partition the corpus by cell,
+    * and within every cell vectors are stored as SQ8 codes against GLOBAL
+    * per-dim bounds ([[sqBounds]]). At 100 TB this composes both levers:
+    * a query reads nProbe/k of the corpus via partition pruning AND each
+    * vector read is 1 byte/dim instead of 4 — a 4× I/O cut on top of the
+    * probe cut, at a recall cost bounded by the per-dim quantization step. */
+  def buildIvfSqIndex(emb: DataFrame, dir: String, k: Int = 16, iters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = kmeansCentroids(emb, k, iters)
+    val bc = spark.sparkContext.broadcast(centers)
+    val bounds = sqBounds(emb)
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map(t => (t._1, t._2, nearestCell(bc.value, t._2)))
+      .toDF("vec_id", "embedding", "cell")
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(SqCodeExpr).as("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    bounds.coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+  }
+
+  /** Query a [[buildIvfSqIndex]] snapshot by raw vector: rank cells by
+    * centroid distance (driver-trivial), scan ONLY the probed cell
+    * partitions, decode codes row-locally against the broadcast bounds, and
+    * rank by symmetric SQ cosine (query quantized through the same
+    * expression path, so engine math is identical to [[sqTopK]]). */
+  def ivfSqIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val probes = centers.map { case (cell, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < query.length) { val x = query(j) - c(j); d += x * x; j += 1 }
+      (cell, d)
+    }.sortBy { case (cell, d) => (d, cell) }.take(nProbe).map(_._1).toSeq
+    val bounds = spark.read.parquet(s"$dir/bounds")
+    val qRe = Seq(Tuple1(query)).toDF("embedding")
+      .crossJoin(broadcast(bounds))
+      .select(expr(SqReExpr).as("re"))
+      .as[Array[Double]].head()
+    val qArr = array(qRe.map(lit): _*)
+    spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(probes: _*))
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        round(cosine(expr(SqDecodeExpr), qArr), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

@@ -655,6 +655,108 @@ class OpsSpec extends AnyFunSuite {
     assert(!planOf(DedupOps.fuzzyDedupPurge(docs, 0.5)).contains("CartesianProduct"))
   }
 
+  test("lmLogPpl matches an independent brute-force bigram LM on a hand fixture") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, "a b a b c", "en"),   // in-model doc
+      (1L, "a b a b c", "fr"),   // same text, out of training slice — same score
+      (2L, "x y x y", "fr"),     // every bigram unseen
+      (3L, "z", "fr"))           // no bigrams → 0.0
+    val docs = rows.toDF("doc_id", "text", "lang")
+    // independent reference implementation (plain Scala, no Spark)
+    val trainPairs = rows.filter(_._3 == "en")
+      .flatMap { case (_, t, _) => t.split(" ").sliding(2).map(a => (a(0), a(1))) }
+    val c2 = trainPairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = trainPairs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = rows.flatMap(_._2.split(" ")).distinct.size.toLong
+    def expected(text: String): Double = {
+      val ps = text.split(" ").sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+      if (ps.isEmpty) 0.0
+      else {
+        val s = ps.map { p =>
+          math.log((c2.getOrElse(p, 0L) + 1).toDouble / (c1.getOrElse(p._1, 0L) + v).toDouble)
+        }.sum
+        BigDecimal(-s / ps.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val got = TextOps.lmLogPpl(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, t, _) =>
+      assert(math.abs(got(id) - expected(t)) < 1e-9, s"doc $id: ${got(id)} vs ${expected(t)}")
+    }
+    // in-model text scores lower (more target-like) than unseen text
+    assert(got(0L) < got(2L))
+    assert(got(0L) == got(1L)) // scoring is model-based, not slice-based
+  }
+
+  test("c4Rules: each gate trips on its own fixture doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "one two three four five six."),        // passes all
+      (1L, "one two three four five { six }."),    // brace
+      (2L, "one two Lorem Ipsum three four five"), // lorem + no terminal punct
+      (3L, "one two nsfwplaceholder four five!"),  // blocklist
+      (4L, "one two.")                             // too few words
+    ).toDF("doc_id", "text")
+    val r = TextOps.c4Rules(docs).collect().map(x => x.getLong(0) -> x).toMap
+    def flags(id: Long) = (r(id).getBoolean(2), r(id).getBoolean(3),
+      r(id).getBoolean(4), r(id).getBoolean(5), r(id).getBoolean(6), r(id).getBoolean(7))
+    assert(flags(0L) === ((true, true, true, true, true, true)))
+    assert(flags(1L) === ((true, false, true, true, true, false)))
+    assert(flags(2L) === ((false, true, false, true, true, false)))
+    assert(flags(3L) === ((true, true, true, false, true, false)))
+    assert(flags(4L) === ((true, true, true, true, false, false)))
+    // pure row-local gates: no join, no window, no exchange
+    val plan = planOf(TextOps.c4Rules(docs))
+    assert(!plan.contains("Window") && !plan.contains("Join"), plan)
+  }
+
+  test("bloomDedup: no false negatives, bitset encodes exactly the seen positions") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"),  // seen (even)
+      (2L, "delta epsilon"),     // seen (even)
+      (1L, "alpha beta gamma"),  // exact copy of 0 → MUST flag
+      (3L, "zeta eta theta")     // unique → should not flag (modulo FP)
+    ).toDF("doc_id", "text")
+    val m = 1L << 12
+    val flags = DedupOps.bloomDedup(docs, col("doc_id") % 2 === 0, m, 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L), "exact duplicate of a seen doc must flag")
+    assert(!flags(3L), "unique doc flagged — FP at m=4096 on 6 set bits is a bug")
+    // the bitset is exactly the seen positions (portable md5 formula)
+    val bits = DedupOps.bloomBitset(docs.where(col("doc_id") % 2 === 0), m, 3)
+      .collect()(0).getSeq[Long](0)
+    val seenPos = docs.where(col("doc_id") % 2 === 0)
+      .select(explode(array((0 until 3).map(i =>
+        TextOps.h60(concat(lit(s"$i#"), col("text"))) % m): _*)).as("p"))
+      .collect().map(_.getLong(0)).toSet
+    val setPos = (0L until m).filter(p =>
+      (bits((p >>> 6).toInt) >> (p & 63) & 1L) == 1L).toSet
+    assert(setPos === seenPos)
+  }
+
+  test("ivfSqIndexTopK at nProbe=all equals sqTopK; probes prune cell partitions") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfsq").toString
+    VectorOps.buildIvfSqIndex(emb, dir, k = 8, iters = 2)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val full = VectorOps.ivfSqIndexTopK(spark, dir, q, 21, nProbe = 8)
+      .where(col("vec_id") =!= 0L).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = VectorOps.sqTopK(emb, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute, "all-cell probe must equal SQ8 brute force")
+    // pruned probe: partition pruning at the scan + decent recall
+    val pruned = VectorOps.ivfSqIndexTopK(spark, dir, q, 21, nProbe = 3)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(planOf(pruned)).isDefined,
+      s"cell not a partition filter:\n${planOf(pruned)}")
+    val prunedIds = pruned.where(col("vec_id") =!= 0L).collect().map(_.getLong(0)).toSet
+    val recall = (brute.map(_._1).toSet & prunedIds).size
+    assert(recall >= 10, s"IVF-SQ recall@20 at nProbe=3/8 collapsed: $recall")
+  }
+
   test("gopherRules: each gate trips on its own fixture doc") {
     import spark.implicits._
     val docs = Seq(
