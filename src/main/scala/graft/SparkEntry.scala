@@ -388,6 +388,12 @@ object SparkEntry {
         d.where(col("doc_id") % 50 =!= 0), d.where(col("doc_id") % 50 === 0), 4)
     }),
 
+    // p2: the model-based curation chain composing the round-4 ops — Bloom
+    // dedup vs the even-id "ingested" slice → Gopher gates → bigram-LM
+    // perplexity gate (model trained on the ingested slice).
+    "p2_model_curation" -> ((s, dir) =>
+      CurationOps.curateModelBased(docs(s, dir), col("doc_id") % 2 === 0)),
+
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
     "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
@@ -1051,6 +1057,49 @@ object SparkEntry {
          |  $cases
          |  ELSE 'unknown' END AS license
          |FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    // p2: the d12 membership chain gates fresh docs, the t16 aggregate gates
+    // quality, the t17 model scores — identical constants, identical rounds.
+    "p2_model_curation" -> {
+      val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
+      s"""WITH pos AS (
+         |  SELECT doc_id, (doc_id % 2 = 0) AS is_seen,
+         |    ('0x' || substring(md5(CAST(i AS VARCHAR) || '#' || text), 1, 15))::BIGINT % ${1L << 18} AS pos
+         |  FROM documents CROSS JOIN generate_series(0, 2) AS t(i)),
+         |bseen AS (SELECT DISTINCT pos FROM pos WHERE is_seen),
+         |bhits AS (SELECT doc_id, count(*) AS n FROM pos p
+         |  WHERE NOT is_seen AND pos IN (SELECT pos FROM bseen) GROUP BY doc_id),
+         |fresh AS (SELECT d0.doc_id FROM documents d0 LEFT JOIN bhits h USING (doc_id)
+         |  WHERE d0.doc_id % 2 <> 0 AND coalesce(h.n, 0) < 3),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         |g AS (SELECT doc_id, count(*) AS n_words,
+         |  round(avg(length(term)), 6) AS mean_len,
+         |  round(avg(CASE WHEN regexp_matches(term, '[a-z]') THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6) AS frac_alpha,
+         |  count(DISTINCT CASE WHEN term IN ($stops) THEN term END) AS n_stop_kinds
+         |  FROM tok WHERE term <> '' GROUP BY doc_id),
+         |gated AS (SELECT doc_id FROM g
+         |  WHERE (n_words BETWEEN 50 AND 100000)
+         |    AND (mean_len BETWEEN CAST(3.0 AS DOUBLE) AND CAST(10.0 AS DOUBLE))
+         |    AND (frac_alpha >= CAST(0.8 AS DOUBLE)) AND (n_stop_kinds >= 2)),
+         |d AS (SELECT doc_id, (doc_id % 2 = 0) AS is_t, string_split(text, ' ') AS toks FROM documents),
+         |p AS (SELECT doc_id, is_t, toks[i] AS w1, toks[i+1] AS w2
+         |      FROM d CROSS JOIN generate_series(1, 8192) AS t(i) WHERE i <= len(toks) - 1),
+         |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM p WHERE is_t GROUP BY w1, w2),
+         |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM p WHERE is_t GROUP BY w1),
+         |v AS (SELECT count(DISTINCT t) AS v FROM (SELECT unnest(toks) AS t FROM d)),
+         |pd AS (SELECT doc_id, w1, w2, count(*) AS n FROM p GROUP BY doc_id, w1, w2),
+         |s AS (SELECT doc_id,
+         |        -sum(n * ln((coalesce(c2, 0) + 1)::DOUBLE / (coalesce(c1, 0) + v)::DOUBLE)) / sum(n) AS raw
+         |      FROM pd LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v
+         |      GROUP BY doc_id),
+         |sc AS (SELECT d2.doc_id, round(coalesce(raw, 0), 4) AS lm_logppl
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d2 LEFT JOIN s USING (doc_id))
+         |SELECT sc.doc_id, dd.lang, sc.lm_logppl
+         |FROM sc JOIN fresh USING (doc_id) JOIN gated USING (doc_id)
+         |JOIN documents dd ON dd.doc_id = sc.doc_id
+         |WHERE sc.lm_logppl <= CAST(3.45 AS DOUBLE)
+         |ORDER BY sc.doc_id""".stripMargin
     },
 
     "p1_curation" -> {

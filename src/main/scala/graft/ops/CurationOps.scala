@@ -51,4 +51,33 @@ object CurationOps {
     // 5. pack survivors into fixed token-budget chunks per language
     TextOps.packChunks(cleaned.join(gated, "doc_id"), budget)
   }
+
+  /** P2: the model-based curation chain of the MassiveText/CCNet generation,
+    * composing the round-4 operators — Bloom-filter dedup against the
+    * already-ingested corpus slice (d12) → Gopher rule gates (t16) →
+    * bigram-LM perplexity gate with the model trained on the ingested slice
+    * (t17, CCNet's "train the LM on what you trust, keep what scores like
+    * it"). One call takes the full corpus (ingested + fresh, split by
+    * `seenFilter`) and returns the FRESH survivors with their LM scores.
+    *
+    * Scale shape: three independent single-pass summaries over the base
+    * table (constant-size Bloom bitset; per-doc rule aggregate; bigram-model
+    * join + per-doc mean), then id-keyed semi-joins of slim (doc_id) gate
+    * sets — no stage carries text past its own aggregate, and nothing here
+    * re-executes another stage's lineage (every stage reads the base scan
+    * directly, unlike [[curate]]'s chained diamond). */
+  def curateModelBased(docs: DataFrame, seenFilter: Column,
+                       maxLogPpl: Double = 3.45,
+                       mBits: Long = 1L << 18, k: Int = 3): DataFrame = {
+    val fresh = DedupOps.bloomDedup(docs, seenFilter, mBits, k)
+      .where(!col("maybe_dup")).select("doc_id")
+    val gated = TextOps.gopherRules(docs).where(col("pass")).select("doc_id")
+    TextOps.lmLogPpl(docs, seenFilter)
+      .where(col("lm_logppl") <= maxLogPpl)
+      .join(fresh, Seq("doc_id"), "left_semi")
+      .join(gated, Seq("doc_id"), "left_semi")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "lm_logppl")
+      .orderBy("doc_id")
+  }
 }

@@ -757,6 +757,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 10, s"IVF-SQ recall@20 at nProbe=3/8 collapsed: $recall")
   }
 
+  test("curateModelBased: composition identity with its three stages") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val seen = col("doc_id") % 2 === 0
+    val got = graft.ops.CurationOps.curateModelBased(docs, seen)
+      .collect().map(_.getLong(0)).toSeq
+    // manual composition of the published single ops
+    val fresh = DedupOps.bloomDedup(docs, seen)
+      .where(!col("maybe_dup")).collect().map(_.getLong(0)).toSet
+    val gated = TextOps.gopherRules(docs).where(col("pass"))
+      .collect().map(_.getLong(0)).toSet
+    val scored = TextOps.lmLogPpl(docs, seen)
+      .where(col("lm_logppl") <= 3.45).collect().map(_.getLong(0)).toSet
+    val expected = (fresh & gated & scored).toSeq.sorted
+    assert(got === expected)
+    // the chain filters something and keeps something at this sf
+    assert(got.nonEmpty && got.size < fresh.size)
+    // fresh side only: every survivor is odd-id
+    assert(got.forall(_ % 2 == 1))
+  }
+
   test("gopherRules: each gate trips on its own fixture doc") {
     import spark.implicits._
     val docs = Seq(
