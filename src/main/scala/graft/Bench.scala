@@ -462,23 +462,34 @@ object Bench {
     val efficiency = effOf(pairResults)
     try rm(work) catch { case _: Throwable => }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // The record keeper stores only the TAIL of this process's output, so
+    // the JSON line is kept compact (rounded doubles) and ordered with the
+    // headline metrics LAST — the queries map may be truncated at the front,
+    // the scaling + latency sections must never be.
+    def r1(x: Double): String =
+      if (x.isNaN) "null" else (math.rint(x * 10) / 10).toString
+    def r3(x: Double): String =
+      if (x.isNaN) "null" else (math.rint(x * 1000) / 1000).toString
+    def r4(x: Double): String =
+      if (x.isNaN) "null" else (math.rint(x * 10000) / 10000).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def jnum(x: Double): String = if (x.isNaN) "null" else x.toString
     def scalingJson(prs: Seq[(Double, Double)], n: Long): String = {
       val pj = prs.map { case (lo, hi) =>
-        s"""{"lo":$lo,"hi":$hi,"eff":${(hi / lo) / (highCores.toDouble / lowCores)}}"""
+        s"""{"lo":${r1(lo)},"hi":${r1(hi)},"eff":${r4((hi / lo) / (highCores.toDouble / lowCores))}}"""
       }.mkString("[", ",", "]")
       s"""{"docs":$n,"cores_low":$lowCores,"cores_high":$highCores,""" +
-      s""""docs_per_sec_low":${jnum(median(prs.map(_._1)))},"docs_per_sec_high":${jnum(median(prs.map(_._2)))},"efficiency":${jnum(effOf(prs))},""" +
+      s""""docs_per_sec_low":${r1(median(prs.map(_._1)))},"docs_per_sec_high":${r1(median(prs.map(_._2)))},"efficiency":${r4(effOf(prs))},""" +
       s""""child_jvm":$childJvm,"pinned":$pinCores,"bus_equalized":$busEqualize,"pairs":$pj}"""
     }
     val scaling = scalingJson(pairResults, nDocs)
     val scaling2m = scalingJson(pair2mResults, nDocs2m)
-    val latency = s"""{"p50_ms":$p50,"p95_ms":$p95,"n_queries":${lat.length},"samples_per_query":3,"estimator":"median"}"""
-    val latencyB = s"""{"p50_ms":$p50B,"p95_ms":$p95B,"n_queries":${latB.length},"samples_per_query":3,"estimator":"median"}"""
-    val latencyU = s"""{"p50_ms":$p50U,"p95_ms":$p95U,"n_queries":${latU.length},"samples_per_query":3,"estimator":"median"}"""
+    def latJson(xs: Array[Double], pa: Double, pb: Double): String =
+      s"""{"p50_ms":${r1(pa)},"p95_ms":${r1(pb)},"n_queries":${xs.length},"samples_per_query":3,"estimator":"median"}"""
+    val latency = latJson(lat, p50, p95)
+    val latencyB = latJson(latB, p50B, p95B)
+    val latencyU = latJson(latU, p50U, p95U)
     val loadJson = loadTest.map(j => s""","load_test":$j""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_2m":$scaling2m,"query_latency":$latency,"query_latency_budgeted":$latencyB,"query_latency_uncached":$latencyU$loadJson}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_2m":$scaling2m,"query_latency":$latency,"query_latency_budgeted":$latencyB,"query_latency_uncached":$latencyU$loadJson}""")
   }
 }

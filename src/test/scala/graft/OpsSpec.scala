@@ -757,6 +757,18 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 10, s"IVF-SQ recall@20 at nProbe=3/8 collapsed: $recall")
   }
 
+  test("lmLogPpl and bloomDedup plans: no cartesian, no window, bitset side broadcast") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c", "en"), (1L, "b c d", "fr")).toDF("doc_id", "text", "lang")
+    val lmPlan = planOf(TextOps.lmLogPpl(docs, col("lang") === "en"))
+    assert(!lmPlan.contains("CartesianProduct") && !lmPlan.contains("Window"), lmPlan)
+    val bPlan = planOf(DedupOps.bloomDedup(docs, col("doc_id") % 2 === 0, 1L << 12, 3))
+    // the candidate side meets ONLY the constant-size broadcast bitset —
+    // never a shuffled or sort-merge join
+    assert(bPlan.contains("BroadcastNestedLoopJoin"), bPlan)
+    assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"), bPlan)
+  }
+
   test("curateModelBased: composition identity with its three stages") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val seen = col("doc_id") % 2 === 0
