@@ -291,6 +291,9 @@ object SparkEntry {
     "d3_simhash" -> ((s, dir) => DedupOps.simhash16(docs(s, dir))),
     "d5_dedup_components" -> ((s, dir) => DedupOps.dedupComponents(docs(s, dir))),
     "d6_embedding_dedup" -> ((s, dir) => DedupOps.embeddingDedup(emb(s, dir), 0.35)),
+    // d13: SemDeDup-style purge — d6's semantic clusters reduced to one
+    // min-id representative each, survivors handed back
+    "d13_semantic_purge" -> ((s, dir) => DedupOps.semanticPurge(emb(s, dir), 0.35)),
     "d4_jaccard_pairs" -> ((s, dir) => DedupOps.jaccardPairs(docs(s, dir), 100L, 0.8)),
     "d4b_jaccard_verify" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -1336,6 +1339,18 @@ object SparkEntry {
          |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE))""".stripMargin,
       8,
       "SELECT doc_id AS vec_id, component, doc_id = component AS is_canonical FROM l8 ORDER BY vec_id"),
+
+    // d13: the d6 propagation chain, non-canonical members anti-joined away.
+    "d13_semantic_purge" -> DedupOps.labelPropagationSql(
+      s"""s AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |  CAST($LshBucketSqlExpr AS BIGINT) AS bucket FROM embeddings),
+         |prs AS MATERIALIZED (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.e, b.e), 4) >= CAST(0.35 AS DOUBLE))""".stripMargin,
+      8,
+      """SELECT e2.vec_id, e2.label FROM embeddings e2
+        |WHERE e2.vec_id NOT IN (SELECT doc_id FROM l8 WHERE doc_id <> component)
+        |ORDER BY e2.vec_id""".stripMargin),
 
     "d4_jaccard_pairs" ->
       s"""WITH $TokCte,

@@ -229,6 +229,29 @@ object DedupOps {
         (col("doc_id") === col("component")).as("is_canonical"))
       .orderBy("vec_id")
 
+  /** D13: SemDeDup-style semantic purge (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * embedding-space near-duplicate groups ([[embeddingDedup]]: sign-LSH
+    * buckets propose, exact cosine ≥ `threshold` verifies, min-label
+    * propagation clusters), then keep ONE representative per semantic
+    * cluster and purge the rest — the "hand the corpus back" artifact, the
+    * embedding twin of [[fuzzyDedupPurge]]. Representative = min vec_id
+    * (the paper keeps the member with lowest similarity to the cluster
+    * centroid; min-id is the deterministic oracle-checkable analog —
+    * divergence documented). Returns the surviving (vec_id, label).
+    *
+    * Scale: inherits d6's shape (bucketed pair proposal, pair-volume-bounded
+    * propagation); the final purge is a LEFT ANTI against the dropped-id
+    * set, which AQE broadcasts at semantic-dup rates — the corpus itself
+    * never shuffles. */
+  def semanticPurge(emb: DataFrame, threshold: Double,
+                    maxIters: Int = 64): DataFrame = {
+    val dropped = embeddingDedup(emb, threshold, maxIters = maxIters)
+      .where(!col("is_canonical")).select("vec_id")
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select("vec_id", "label").orderBy("vec_id")
+  }
+
   /** Exact token-set Jaccard for a CANDIDATE PAIR table (a_id, b_id) — the
     * scale path: LSH proposes, this verifies. Token sets are aggregated only
     * for docs appearing in a pair (semi-join pushdown), then each pair is two

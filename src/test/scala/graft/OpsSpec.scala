@@ -769,6 +769,23 @@ class OpsSpec extends AnyFunSuite {
     assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"), bPlan)
   }
 
+  test("semanticPurge: keeps one representative per d6 cluster, survivors complete") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val groups = DedupOps.embeddingDedup(emb, 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val dropped = groups.filter(!_._3).map(_._1).toSet
+    val survivors = DedupOps.semanticPurge(emb, 0.35).collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === (all -- dropped))
+    assert(dropped.nonEmpty, "fixture should contain semantic near-dups")
+    // every cluster retains exactly its min-id member
+    groups.groupBy(_._2).foreach { case (comp, members) =>
+      val ids = members.map(_._1)
+      assert((ids.toSet & survivors) === Set(ids.min), s"cluster $comp")
+    }
+    assert(!planOf(DedupOps.semanticPurge(emb, 0.35)).contains("CartesianProduct"))
+  }
+
   test("curateModelBased: composition identity with its three stages") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val seen = col("doc_id") % 2 === 0
