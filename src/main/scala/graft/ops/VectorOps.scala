@@ -351,16 +351,26 @@ object VectorOps {
         expr("transform(array_sort(collect_list(struct(d, mn))), s -> s.mn)").as("mns"),
         expr("transform(array_sort(collect_list(struct(d, mx))), s -> s.mx)").as("mxs"))
 
-  /** Quantize expression (embedding, mns, mxs in scope → array<int> codes). */
+  /** Quantize expression (embedding, mns, mxs in scope → array<int> codes).
+    * Clamped to [0, 255]: values inside the training bounds are untouched
+    * (so the v5/v5b oracles stay bit-identical), but vectors APPENDED after
+    * bounds training ([[appendIvfSqIndex]]) may exceed them and must
+    * saturate rather than wrap. */
   private val SqCodeExpr =
     "transform(embedding, (x, d) -> CASE WHEN mxs[d] = mns[d] THEN 0 " +
-      "ELSE cast(round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) as int) END)"
+      "ELSE cast(least(255.0D, greatest(0.0D, " +
+      "round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0))) as int) END)"
 
-  /** One-shot quantize+reconstruct expression (from the raw embedding). */
+  /** One-shot quantize+reconstruct expression (from the raw embedding).
+    * Same [0, 255] clamp as [[SqCodeExpr]] so a reconstruct of any vector
+    * equals the decode of its stored code even when the vector lies outside
+    * the training bounds (in-bounds values — and so the v5/v5b oracles,
+    * whose bounds cover the whole corpus — are unaffected). */
   private val SqReExpr =
     "transform(embedding, (x, d) -> mns[d] + " +
       "(CASE WHEN mxs[d] = mns[d] THEN 0.0D " +
-      "ELSE round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0) END)" +
+      "ELSE least(255.0D, greatest(0.0D, " +
+      "round((cast(x as double) - mns[d]) / (mxs[d] - mns[d]) * 255.0D, 0))) END)" +
       " * (mxs[d] - mns[d]) / 255.0D)"
 
   /** Decode expression from STORED codes — the same multiply/divide order as
@@ -422,6 +432,32 @@ object VectorOps {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     bounds.coalesce(1).write.mode("overwrite").parquet(s"$dir/bounds")
+  }
+
+  /** Append new vectors to a [[buildIvfSqIndex]] snapshot WITHOUT
+    * retraining — the serving-update path (the ANN twin of the text index's
+    * incremental snapshot merge): new vectors are assigned to the STORED
+    * centroids and quantized against the STORED bounds (out-of-bounds
+    * coordinates saturate — [[SqCodeExpr]] clamps), then appended to the
+    * matching cell partitions. Centroid/bounds drift is the standard IVF
+    * operational trade: queries stay correct (a probe still scans whole
+    * cells), recall decays only as the data distribution drifts, and a
+    * periodic rebuild retrains — exactly the snapshot-compaction cadence
+    * the text side uses. One narrow map + a partitioned append; nothing
+    * shuffles, nothing existing is rewritten. */
+  def appendIvfSqIndex(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val bc = spark.sparkContext.broadcast(centers)
+    val bounds = spark.read.parquet(s"$dir/bounds")
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map(t => (t._1, t._2, nearestCell(bc.value, t._2)))
+      .toDF("vec_id", "embedding", "cell")
+      .crossJoin(broadcast(bounds))
+      .select(col("vec_id"), expr(SqCodeExpr).as("codes"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
   }
 
   /** Query a [[buildIvfSqIndex]] snapshot by raw vector: rank cells by

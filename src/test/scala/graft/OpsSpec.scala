@@ -769,6 +769,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"), bPlan)
   }
 
+  test("appendIvfSqIndex: appended vectors serve identically to a stored-bounds full scan") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfsqapp").toString
+    VectorOps.buildIvfSqIndex(emb.where(col("vec_id") % 2 === 0), dir, k = 8, iters = 2)
+    VectorOps.appendIvfSqIndex(emb.where(col("vec_id") % 2 === 1), dir)
+    // nothing lost, nothing rewritten: one code row per corpus vector
+    assert(spark.read.parquet(s"$dir/codes").count() === emb.count())
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val got = VectorOps.ivfSqIndexTopK(spark, dir, q, 21, nProbe = 8)
+      .where(col("vec_id") =!= 0L).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // expected: brute cosine over the WHOLE corpus reconstructed with the
+    // STORED (even-half-trained) bounds — appended rows must be
+    // indistinguishable from built rows at probe-all
+    val bounds = spark.read.parquet(s"$dir/bounds")
+    val rec = VectorOps.sqReconstruct(emb, bounds)
+    val qe = rec.where(col("vec_id") === 0L).select(col("re").as("qe"))
+    val exp = rec.where(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qe))
+      .select(col("vec_id"), round(VectorOps.cosine(col("re"), col("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exp)
+  }
+
   test("semanticPurge: keeps one representative per d6 cluster, survivors complete") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val groups = DedupOps.embeddingDedup(emb, 0.35).collect()
