@@ -399,6 +399,10 @@ object SparkEntry {
 
     // -- similarity search over embeddings -----------------------------------
     "v1_ann_topk" -> ((s, dir) => VectorOps.annTopK(emb(s, dir), 0L, 20)),
+    // v6: batched ANN — four queries answered in ONE corpus pass through a
+    // bounded map-side top-k aggregator (never a Q×N rank-window shuffle)
+    "v6_batch_topk" -> ((s, dir) =>
+      VectorOps.annTopKBatch(emb(s, dir), Seq(0L, 1L, 2L, 3L), 20)),
     "v2_cosine_pairs" -> ((s, dir) => VectorOps.cosinePairs(emb(s, dir), 200L, 0.35)),
     "v2b_cosine_verify" -> ((s, dir) => VectorOps.cosineVerify(emb(s, dir), 0.35)),
     "v3_lsh_bucket" -> ((s, dir) => VectorOps.lshBuckets(emb(s, dir))),
@@ -1368,6 +1372,15 @@ object SparkEntry {
         |SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
         |FROM embeddings CROSS JOIN q WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], qe) DESC, vec_id LIMIT 20""".stripMargin,
+
+    // v6: per-query rank window over the same rounded cosine, same
+    // (cos DESC, vec_id) tie-break the bounded aggregator uses.
+    "v6_batch_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN (0, 1, 2, 3)),
+        |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qe), 4) AS cos
+        |      FROM embeddings CROSS JOIN q WHERE vec_id <> q_id),
+        |r AS (SELECT q_id, vec_id, cos, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk FROM s)
+        |SELECT q_id, vec_id, cos, rnk FROM r WHERE rnk <= 20 ORDER BY q_id, rnk""".stripMargin,
 
     // v5: identical quantize → reconstruct → cosine math (same expression
     // order, so bit-identical doubles), ORDER BY the same rounded key.

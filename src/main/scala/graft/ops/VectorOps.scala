@@ -1,5 +1,10 @@
 package graft.ops
 
+/** One scored corpus vector inside the batched-ANN top-k buffer. Top-level
+  * so the Aggregator's buffer encoder stays codegen-compatible (nested
+  * private case classes force interpreted fallback). */
+private[ops] case class ScoredVec(cos: Double, vec_id: Long)
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -489,5 +494,56 @@ object VectorOps {
         round(cosine(expr(SqDecodeExpr), qArr), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  // --- V6: batched ANN (many queries, ONE corpus pass) ----------------------
+
+  /** Bounded top-k Aggregator: the buffer never exceeds k entries, so the
+    * partial (map-side) aggregation state is k rows per (partition, query) —
+    * the whole point vs a rank window, whose exchange carries every scored
+    * (query × corpus) row. Ties break on vec_id ascending, matching the
+    * single-query operators. */
+  private class TopKAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredVec, Seq[ScoredVec], Seq[ScoredVec]] {
+    private def trim(xs: Seq[ScoredVec]): Seq[ScoredVec] =
+      xs.sortBy(s => (-s.cos, s.vec_id)).take(k)
+    def zero: Seq[ScoredVec] = Nil
+    def reduce(b: Seq[ScoredVec], a: ScoredVec): Seq[ScoredVec] =
+      if (b.size >= k && a.cos < b.last.cos) b else trim(b :+ a)
+    def merge(a: Seq[ScoredVec], b: Seq[ScoredVec]): Seq[ScoredVec] = trim(a ++ b)
+    def finish(r: Seq[ScoredVec]): Seq[ScoredVec] = trim(r)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredVec]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredVec]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredVec]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredVec]]()
+  }
+
+  /** V6: batched brute ANN — exact cosine top-k for EVERY query id in ONE
+    * corpus pass. The batch-serving shape at 100 TB: Q queries broadcast
+    * (Q × dim floats), the corpus is scanned once and each row scores
+    * against all queries in-register; per-query top-k runs through a
+    * BOUNDED Aggregator whose map-side partial state is k rows per query
+    * per partition — the exchange carries partitions × Q × k buffered rows,
+    * never the Q × N scored stream a rank-window plan would shuffle.
+    * Returns (q_id, vec_id, cos, rnk) with rank 1..k per query.
+    * Composes with the IVF family: probe-restrict the scan per cell set
+    * for IVF-batch. */
+  def annTopKBatch(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val topk = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[ScoredVec]())
+    emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), round(cosine(col("embedding"), col("q_emb")), 4).as("cos"),
+        col("vec_id"))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("vec_id")).as("topk"))
+      .select(col("q_id"), posexplode(col("topk")).as(Seq("i", "s")))
+      .select(col("q_id"), col("s.vec_id").as("vec_id"), col("s.cos").as("cos"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("q_id", "rnk")
   }
 }

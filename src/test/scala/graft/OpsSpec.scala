@@ -769,6 +769,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"), bPlan)
   }
 
+  test("annTopKBatch: each query's slice equals the single-query operator; partial agg bounded") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val batch = VectorOps.annTopKBatch(emb, Seq(0L, 5L, 9L), 20).collect()
+      .groupBy(_.getLong(0))
+    Seq(0L, 5L, 9L).foreach { qid =>
+      val single = VectorOps.annTopK(emb, qid, 20).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val slice = batch(qid).sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      // identical rounded-score multiset; membership may differ only at a
+      // rounded-cos tie on the k boundary (annTopK breaks ties on the
+      // unrounded cosine, the batch aggregator on the rounded one)
+      assert(slice.map(_._2).sorted === single.map(_._2).sorted, s"query $qid scores")
+      assert((slice.map(_._1).toSet & single.map(_._1).toSet).size >= 19, s"query $qid members")
+    }
+    // ranks are 1..k dense per query
+    batch.values.foreach(rows => assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to 20L)))
+    // the plan aggregates through the bounded UDAF (ObjectHashAggregate),
+    // never a rank window over the scored stream
+    val plan = planOf(VectorOps.annTopKBatch(emb, Seq(0L, 1L), 5))
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"), plan)
+  }
+
   test("appendIvfSqIndex: appended vectors serve identically to a stored-bounds full scan") {
     import java.nio.file.Files
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
