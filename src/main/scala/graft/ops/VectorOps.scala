@@ -496,6 +496,144 @@ object VectorOps {
       .limit(k)
   }
 
+  // --- V7: product quantization (the PQ of FAISS IVFx,PQy serving) ----------
+
+  private def nearestCellD(centers: Array[Array[Double]], e: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var d = 0.0
+      var i = 0
+      while (i < e.length) { val x = e(i) - ctr(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** PQ codebook training (Jégou et al. 2011, "Product quantization for
+    * nearest neighbor search"): the vector splits into `m` subspaces of
+    * dim/m coordinates; each subspace gets its own `k`-centroid quantizer,
+    * trained by the same deterministic seeded Lloyd as [[kmeansCentroids]]
+    * (seeds = the k lowest-vec_id embeddings, so the result is independent
+    * of partitioning). ALL m quantizers train in the SAME pass: each round
+    * is one narrow flatMap (m sub-rows per vector) + one map-side-combined
+    * reduceByKey to m×k rows; codebook state is m×k×(dim/m) doubles on the
+    * driver, broadcast each round — nothing corpus-sized moves. Returns
+    * codebooks(subspace)(centroid)(coordinate). */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 32,
+              iters: Int = 5): Array[Array[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val data = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val seeds = data.orderBy("vec_id").limit(k).collect().sortBy(_._1).map(_._2)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m)(mi =>
+      seeds.map(e => e.slice(mi * sub, (mi + 1) * sub).map(_.toDouble)))
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      val sums = data.rdd.flatMap { case (_, e) =>
+        val bs = bc.value
+        (0 until bs.length).iterator.map { mi =>
+          val s = new Array[Double](sub)
+          var i = 0
+          while (i < sub) { s(i) = e(mi * sub + i); i += 1 }
+          ((mi, nearestCellD(bs(mi), s)), (s, 1L))
+        }
+      }.reduceByKey { (x, y) =>
+        val (a, na) = x
+        val (b, nb) = y
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        (a, na + nb)
+      }.collect().toMap
+      books = Array.tabulate(m)(mi => books(mi).zipWithIndex.map { case (old, ci) =>
+        sums.get((mi, ci)).map { case (s, n) => s.map(_ / n) }.getOrElse(old)
+      })
+      bc.destroy()
+      it += 1
+    }
+    books
+  }
+
+  /** PQ encode: one code per subspace — dim floats become m small ints
+    * (m bytes at k ≤ 256). One narrow map against the broadcast codebooks. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val sub = books.head.head.length
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val bs = bc.value
+        val codes = new Array[Int](bs.length)
+        var mi = 0
+        while (mi < bs.length) {
+          val s = new Array[Double](sub)
+          var i = 0
+          while (i < sub) { s(i) = e(mi * sub + i); i += 1 }
+          codes(mi) = nearestCellD(bs(mi), s)
+          mi += 1
+        }
+        (id, codes)
+      }.toDF("vec_id", "codes")
+  }
+
+  /** V7: PQ top-k by asymmetric-distance cosine — the query stays exact,
+    * every corpus vector is its PQ reconstruction x̂ (the concatenation of
+    * its m chosen centroids). Cosine decomposes over subspaces:
+    *   cos(q, x̂) = Σ_mi lutDot(mi, code_mi) / (|q| · √Σ_mi lutNorm(mi, code_mi)),
+    * so the scan reads m bytes per vector and does 2m LUT lookups — the
+    * classic PQ serving kernel, here over a broadcast m×k dot/norm LUT.
+    * Composes with the IVF family exactly like SQ (cell-partition the codes
+    * for IVF-PQ). Deterministic: seeded training + (cos, vec_id) ordering —
+    * recall@20 vs brute force is pinned in OpsSpec. */
+  def pqTopK(emb: DataFrame, books: Array[Array[Array[Double]]],
+             queryId: Long, kTop: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.where(col("vec_id") === queryId)
+      .select(col("embedding")).as[Array[Float]].head().map(_.toDouble)
+    val sub = books.head.head.length
+    val lutDot = books.zipWithIndex.map { case (book, mi) =>
+      book.map { c =>
+        var d = 0.0
+        var i = 0
+        while (i < sub) { d += q(mi * sub + i) * c(i); i += 1 }
+        d
+      }
+    }
+    val lutNorm = books.map(_.map { c =>
+      var n = 0.0
+      var i = 0
+      while (i < c.length) { n += c(i) * c(i); i += 1 }
+      n
+    })
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val bcD = spark.sparkContext.broadcast(lutDot)
+    val bcN = spark.sparkContext.broadcast(lutNorm)
+    pqEncode(emb.where(col("vec_id") =!= queryId), books)
+      .as[(Long, Array[Int])]
+      .map { case (id, codes) =>
+        val ld = bcD.value
+        val ln = bcN.value
+        var dot = 0.0
+        var nrm = 0.0
+        var mi = 0
+        while (mi < codes.length) {
+          dot += ld(mi)(codes(mi)); nrm += ln(mi)(codes(mi)); mi += 1
+        }
+        (id, math.rint(dot / (qNorm * math.sqrt(nrm)) * 1e4) / 1e4)
+      }.toDF("vec_id", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
   // --- V6: batched ANN (many queries, ONE corpus pass) ----------------------
 
   /** Bounded top-k Aggregator: the buffer never exceeds k entries, so the

@@ -769,6 +769,38 @@ class OpsSpec extends AnyFunSuite {
     assert(!bPlan.contains("SortMergeJoin") && !bPlan.contains("ShuffledHashJoin"), bPlan)
   }
 
+  test("PQ: codes bounded, ADC matches reconstruction, training partition-independent, recall pinned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = VectorOps.pqTrain(emb, m = 8, k = 32, iters = 4)
+    assert(books.length === 8 && books.forall(_.length === 32))
+    val codes = VectorOps.pqEncode(emb, books).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c < 32)))
+    // ADC identity: the LUT-decomposed cosine equals cos(q, explicit PQ
+    // reconstruction) — the decomposition is algebraically exact; one
+    // rounding step of slack for the different summation order
+    val q = emb.where(col("vec_id") === 0L).select(col("embedding"))
+      .collect()(0).getSeq[Float](0).map(_.toDouble).toArray
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val sub = 64 / 8
+    val top = VectorOps.pqTopK(emb, books, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    top.foreach { case (id, cosLut) =>
+      val re = codes(id).zipWithIndex.flatMap { case (c, mi) => books(mi)(c) }.toArray
+      val dot = q.zip(re).map { case (a, b) => a * b }.sum
+      val rn = math.sqrt(re.map(x => x * x).sum)
+      val expl = math.rint(dot / (qn * rn) * 1e4) / 1e4
+      assert(math.abs(cosLut - expl) <= 1.0001e-4, s"vec $id: $cosLut vs $expl")
+    }
+    // seeded training is independent of the input partitioning
+    val books7 = VectorOps.pqTrain(emb.repartition(7), m = 8, k = 32, iters = 4)
+    assert(books.flatten.flatten.toSeq === books7.flatten.flatten.toSeq)
+    // 8 bytes/vector instead of 256 still ranks usefully on the fixture
+    val brute = VectorOps.annTopK(emb, 0L, 20).collect().map(_.getLong(0)).toSet
+    val recall = (top.map(_._1).toSet & brute).size
+    assert(recall >= 8, s"PQ recall@20 collapsed: $recall/20")
+  }
+
   test("annTopKBatch: each query's slice equals the single-query operator; partial agg bounded") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val batch = VectorOps.annTopKBatch(emb, Seq(0L, 5L, 9L), 20).collect()
