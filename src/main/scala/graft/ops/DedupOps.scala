@@ -125,13 +125,15 @@ object DedupOps {
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min("component").as("n_comp"))
+      // the previous component rides the checkpoint so convergence is a
+      // filter over already-materialized rows, not an extra per-iteration
+      // join (measured ~1/3 of each round's cost at sf0.1)
       val next = labels.join(fromNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("component").as("old_c"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "doc_id")
-        .where(col("n.component") =!= col("o.component")).isEmpty
-      labels = next
+      converged = next.where(col("component") =!= col("old_c")).isEmpty
+      labels = next.select("doc_id", "component")
     }
     labels.orderBy("doc_id")
   }
