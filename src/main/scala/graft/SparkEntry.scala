@@ -176,6 +176,11 @@ object SparkEntry {
         Seq(1L, 2L, 3L), 3, minCard = 5)
         .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")),
 
+    // j13: HITS hubs/authorities — the link-analysis sibling of the j6/j10/
+    // j11 PageRank family, same deterministic events-derived edge list.
+    "j13_hits" -> ((s, dir) =>
+      RelationalOps.hitsEvents(tbl(s, dir, "events"), 50, 3)),
+
     // -- window aggregations (A2 prefix sum, A8 per-group top-k) -------------
     "a2_window_prefix_sum" -> ((s, dir) =>
       tbl(s, dir, "orders").select(col("o_orderkey"),
@@ -382,6 +387,20 @@ object SparkEntry {
             "WHEN 3 THEN 'GNU General Public License v3' || chr(10) || text " +
             "ELSE text END")))),
 
+    // w1: the reference's EdgeUrl/EdgeDomain/QueryParams canonicalization
+    // over planted URLs (proto case, default/kept ports, gov-TLD and IP
+    // hosts, whitelist-filtered + sorted query params, fragments).
+    "w1_url_canonical" -> ((s, dir) =>
+      UrlOps.urlCanonical(
+        docs(s, dir).select(col("doc_id"), expr(UrlPlantExpr).as("url")))
+        .orderBy("doc_id")),
+
+    // d14: URL-keyed exact dedup — raw variants folding to one canonical
+    // elect a min-doc_id representative (the crawl-frontier dedup).
+    "d14_url_dedup" -> ((s, dir) =>
+      DedupOps.urlDedup(
+        docs(s, dir).select(col("doc_id"), expr(UrlDedupPlantExpr).as("url")))),
+
     // p1: the composed curation chain — exact dedup → decontamination (vs the
     // same doc_id%50 eval split d8 uses) → language + quality gates → packed
     // 2048-token chunks. One call, end-to-end, over the audited parts.
@@ -488,6 +507,12 @@ object SparkEntry {
     // the same CASE chain mirrored in the oracle (the t8/t11 pattern).
     "t18_c4_rules" -> ((s, dir) =>
       TextOps.c4Rules(docs(s, dir).withColumn("text", expr(C4PlantExpr)))),
+
+    // t19: within-doc repeated-line removal over a planted multi-line
+    // augmentation (the corpus text is single-line; the plant adds nav/footer
+    // boilerplate with real duplicates, identical SQL on both engines)
+    "t19_line_dedup" -> ((s, dir) =>
+      TextOps.lineDedup(docs(s, dir).withColumn("text", expr(LinePlantExpr)))),
 
     // t13: CCNet/GPT-3-style Naive-Bayes quality classifier — target class =
     // the English slice, scored over the whole corpus in one job
@@ -864,6 +889,91 @@ object SparkEntry {
       "WHEN doc_id % 13 = 0 THEN text || ' nsfwplaceholder' " +
       "ELSE text END"
 
+  /** t19 planted multi-line text — identical SQL text on both engines:
+    * even docs get a duplicated nav header + a duplicated lead line, every
+    * doc gets a duplicated footer, so the dedup has real work on every row. */
+  private val LinePlantExpr: String =
+    "CASE WHEN doc_id % 2 = 0 THEN " +
+      "'nav home about' || chr(10) || text || chr(10) || 'nav home about' || " +
+      "chr(10) || substring(text, 1, 20) || chr(10) || substring(text, 1, 20) || " +
+      "chr(10) || 'footer (c) example' || chr(10) || 'footer (c) example' " +
+      "ELSE text || chr(10) || 'footer (c) example' || chr(10) || 'footer (c) example' END"
+
+  /** w1 planted URL — identical SQL text on both engines. Covers proto case
+    * folding, default-port elision vs kept ports, IP / gov-TLD / dotless
+    * hosts, whitelist param filtering (incl. the posting.php and
+    * viewtopic.php drop rules), param sorting, fragments, and empty paths. */
+  private val UrlPlantExpr: String =
+    "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' ELSE 'HtTp' END || '://' || " +
+      "CASE CAST(doc_id % 7 AS INT) WHEN 0 THEN 'WWW.Example.COM' " +
+      "WHEN 1 THEN 'forum.example.co.uk' WHEN 2 THEN 'a.b.site.ac.jp' " +
+      "WHEN 3 THEN '192.168.1.10' WHEN 4 THEN 'Sub.Domain.org' " +
+      "WHEN 5 THEN 'localhost' ELSE 'news.example.com' END || " +
+      "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END || " +
+      "CASE CAST(doc_id % 8 AS INT) WHEN 0 THEN '' WHEN 1 THEN '/' " +
+      "WHEN 2 THEN '/forum/viewtopic.php?p=5&t=3&start=10' " +
+      "WHEN 3 THEN '/index.php?showtopic=9&x=2' " +
+      "WHEN 4 THEN '/cgi-bin/script.cgi?zz=1&aa=2' " +
+      "WHEN 5 THEN '/page.html?id=77&utm_source=feed#frag' " +
+      "WHEN 6 THEN '/wiki/StoryView.py?project=mac&story=x&other=1' " +
+      "ELSE '/forum/posting.php?id=3&t=9' END"
+
+  /** d14 planted URL — raw variation that canonicalization must FOLD:
+    * proto case (both → http), an elided default :80, host case, and a
+    * dropped junk param, leaving 6 distinct canonical groups
+    * ({www, site} hosts × {/a?id=7, /a, /b} paths). */
+  private val UrlDedupPlantExpr: String =
+    "CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HtTp' END || '://' || " +
+      "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'WWW.Example.COM' " +
+      "WHEN 1 THEN 'www.example.com' ELSE 'site.example.com' END || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END || " +
+      "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/a?id=7&utm=x' " +
+      "WHEN 1 THEN '/a?id=7' WHEN 2 THEN '/a' ELSE '/b' END"
+
+  /** The DuckDB transcription of [[graft.ops.UrlOps.urlCanonical]] as a CTE
+    * chain ending in `p6` (doc_id, url, proto, host, port, domain, path,
+    * param, canonical) — shared by the w1 oracle and the d14 compose. */
+  private def urlCanonCtes(plantExpr: String): String =
+    s"""WITH aug AS (SELECT doc_id, $plantExpr AS url FROM documents),
+       |p1 AS (SELECT doc_id, url,
+       |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
+       |  regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS authority,
+       |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
+       |  regexp_extract(url, '\\?([^#]*)', 1) AS query FROM aug),
+       |p2 AS (SELECT *,
+       |  CASE WHEN contains(authority, ':') THEN lower(split_part(authority, ':', 1)) ELSE lower(authority) END AS host,
+       |  CASE WHEN contains(authority, ':') THEN try_cast(split_part(authority, ':', 2) AS BIGINT) END AS port_raw,
+       |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path FROM p1),
+       |p3 AS (SELECT *,
+       |  CASE WHEN port_raw IS NULL OR port_raw < 1 THEN NULL
+       |       WHEN proto = 'http' AND port_raw = 80 THEN NULL
+       |       WHEN proto = 'https' AND port_raw = 443 THEN NULL
+       |       ELSE port_raw END AS port,
+       |  array_to_string(list_sort(list_filter(list_filter(string_split(query, '&'), e -> e <> ''),
+       |    x -> CASE WHEN ends_with(path, '.cgi') THEN true
+       |              WHEN ends_with(path, '/posting.php') THEN false
+       |              WHEN starts_with(x, 'id=') THEN true
+       |              WHEN starts_with(x, 'p=') OR starts_with(x, 'f=') THEN NOT (ends_with(path, 'showthread.php') OR ends_with(path, 'viewtopic.php'))
+       |              WHEN starts_with(x, 'i=') OR starts_with(x, 'start=') OR starts_with(x, 't=') OR starts_with(x, 'v=') OR starts_with(x, 'post=') THEN true
+       |              WHEN ends_with(path, 'index.php') THEN starts_with(x, 'showtopic=') OR starts_with(x, 'showforum=')
+       |              WHEN ends_with(path, 'StoryView.py') THEN starts_with(x, 'project=') OR starts_with(x, 'story=')
+       |              ELSE false END)), '&') AS joined FROM p2),
+       |p4 AS (SELECT *, CASE WHEN joined = '' THEN NULL ELSE joined END AS param,
+       |  (length(host) >= 7 AND regexp_matches(host, '^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$$')) AS is_ip,
+       |  (length(host) >= 8
+       |    AND length(right(host, 7)) - length(replace(right(host, 7), '.', '')) >= 2
+       |    AND regexp_matches(host, '\\.(ac|co|org|gov|edu|com)\\.[a-z]{2}$$')) AS is_gov,
+       |  len(string_split(host, '.')) AS n_labels,
+       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS last2,
+       |  regexp_extract(host, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) AS last3 FROM p3),
+       |p5 AS (SELECT *, CASE WHEN NOT contains(host, '.') OR is_ip THEN host
+       |       WHEN n_labels <= 2 THEN host
+       |       WHEN is_gov THEN last3
+       |       ELSE last2 END AS domain FROM p4),
+       |p6 AS (SELECT *,
+       |  proto || '://' || host || coalesce(':' || port, '') || path || coalesce('?' || param, '') AS canonical
+       |FROM p5)""".stripMargin
+
   /** t11 planted date string — identical SQL text on both engines. Mode 2's
     * second year goes invalid past 2027, collapsing to the single-year
     * branch; modes 0/1 go out-of-range for doc_id % 40 ∉ [5, 37], exercising
@@ -956,6 +1066,8 @@ object SparkEntry {
          |WHERE src <> dst""".stripMargin,
       Seq(1L, 2L, 3L), 3, reverse = false) +
       "\nSELECT id, round(r, 8) AS rank FROM r3 ORDER BY id"),
+
+    "j13_hits" -> RelationalOps.hitsOracleSql(50, 3),
 
     "a2_window_prefix_sum" ->
       """SELECT o_orderkey, round(sum(o_totalprice) OVER
@@ -1108,6 +1220,27 @@ object SparkEntry {
          |WHERE sc.lm_logppl <= CAST(3.45 AS DOUBLE)
          |ORDER BY sc.doc_id""".stripMargin
     },
+
+    // w1: EdgeUrl/EdgeDomain/QueryParams canonicalization — same planted
+    // URLs, same rule order (QueryParams.isPermittedParam transcribed in
+    // the whitelist lambda; EdgeDomain's gov-TLD/IP quirks in p4/p5).
+    "w1_url_canonical" ->
+      (urlCanonCtes(UrlPlantExpr) +
+        """
+          |SELECT doc_id, url, proto, host, port,
+          |  CASE WHEN domain = host THEN '' ELSE substring(host, 1, length(host) - length(domain) - 1) END AS subdomain,
+          |  domain, path, param, canonical
+          |FROM p6 ORDER BY doc_id""".stripMargin),
+
+    // d14: URL-keyed exact dedup composing w1 — distinct raw URLs that fold
+    // to ONE canonical (case variants, elided :80, dropped junk params)
+    // elect a min-doc_id representative per canonical group.
+    "d14_url_dedup" ->
+      (urlCanonCtes(UrlDedupPlantExpr) +
+        """,
+          |m AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 GROUP BY canonical)
+          |SELECT p6.doc_id, p6.canonical, (p6.doc_id = m.keep_id) AS keep
+          |FROM p6 JOIN m USING (canonical) ORDER BY p6.doc_id""".stripMargin),
 
     "p1_curation" -> {
       val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")
@@ -1590,6 +1723,18 @@ object SparkEntry {
          |    AND NOT contains(lower(text), 'lorem ipsum')
          |    AND NOT list_contains(string_split(lower(text), ' '), 'nsfwplaceholder')
          |    AND len(list_filter(string_split(text, ' '), t -> t <> '')) >= 5) AS pass
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // t19: same planted multi-line text; first-occurrence line dedup via the
+    // index-lambda idiom (list_position returns the FIRST index, so the
+    // filter keeps exactly the first copy of each line, order preserved).
+    "t19_line_dedup" ->
+      s"""WITH aug AS (SELECT doc_id, $LinePlantExpr AS text FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(list_filter(string_split(text, chr(10)),
+         |    (x, i) -> list_position(string_split(text, chr(10)), x) = i), chr(10)) AS text,
+         |  (len(string_split(text, chr(10))) - len(list_filter(string_split(text, chr(10)),
+         |    (x, i) -> list_position(string_split(text, chr(10)), x) = i)))::BIGINT AS n_dropped
          |FROM aug ORDER BY doc_id""".stripMargin,
 
     // t13: the full NB train+score chain — add-1 smoothing over the corpus

@@ -35,6 +35,26 @@ object DedupOps {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
       .orderBy("h")
 
+  /** D14: URL-keyed exact dedup — [[exactDups]]'s shape keyed on the
+    * reference's EdgeUrl canonical form instead of content ([[UrlOps
+    * .urlCanonical]]): raw URLs that differ only in case, elided default
+    * ports, or dropped junk params fold to one canonical and elect a
+    * min-doc_id representative. This is the crawl-frontier/recrawl dedup a
+    * URL-addressed corpus runs before fetching or indexing anything.
+    *
+    * Scale: canonicalization rides the scan (w1 is row-local); the group is
+    * a hash-aggregate on canonical; the representative table (one row per
+    * DISTINCT canonical) joins back — AQE broadcasts it at web dup rates.
+    * No window, corpus never sorts. */
+  def urlDedup(docsWithUrl: DataFrame): DataFrame = {
+    val canon = UrlOps.urlCanonical(docsWithUrl).select("doc_id", "canonical")
+    val reps = canon.groupBy("canonical").agg(min("doc_id").as("keep_id"))
+    canon.join(reps, "canonical")
+      .select(col("doc_id"), col("canonical"),
+        (col("doc_id") === col("keep_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash permutation multipliers (a·h + b mod p, p = 2^31−1). 8 perms. */
   final val Perms: Seq[(Long, Long)] =
     Seq((7L, 11L), (13L, 101L), (31L, 257L), (101L, 1021L),

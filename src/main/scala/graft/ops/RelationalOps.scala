@@ -359,6 +359,83 @@ object RelationalOps {
       s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
   }
 
+  /** J13: HITS hubs & authorities (Kleinberg 1999) over an arbitrary
+    * (src, dst) edge list — the link-analysis sibling of the reference's
+    * PageRank family (RankingAlgorithm.java:141-188): the reverse-PR variant
+    * (j11) already ranks "hubs that link to a seed set"; HITS computes the
+    * mutually-reinforcing hub/authority pair over the whole graph.
+    *
+    * Per iteration: auth(d) = Σ_{s→d} hub(s), then L1-normalize; hub(s) =
+    * Σ_{s→d} auth(d), then L1-normalize. L1 (not the textbook L2) keeps the
+    * normalization a plain `sum` both here and in the DuckDB oracle; the
+    * induced ranking is identical (positive scalar factor per vector).
+    *
+    * Scale: same shape as [[pageRankEdges]] — edges computed once, two
+    * shuffles per iteration (one per direction), each norm a one-row
+    * aggregate broadcast back into the plan (no per-iteration driver
+    * action), lineage cut every 4 iterations.
+    */
+  def hitsEdges(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    var hub = nodes.withColumn("h", lit(1.0))
+    var auth = nodes.withColumn("a", lit(0.0))
+    for (i <- 1 to iters) {
+      val a0 = nodes.join(
+          edges.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(col("dst").as("id")).agg(sum("h").as("s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(sum("a").as("norm"))))
+        .select(col("id"), expr("a / norm").as("a"))
+      val h0 = nodes.join(
+          edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(col("src").as("id")).agg(sum("a").as("s")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("s"), lit(0.0)).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(sum("h").as("norm"))))
+        .select(col("id"), expr("h / norm").as("h"))
+      if (i % 4 == 0 && i < iters) { hub = hub.localCheckpoint(); auth = auth.localCheckpoint() }
+    }
+    // rounded to 6 (not j6's 8): each iteration divides by a cross-partition
+    // sum, so FP association noise compounds one step further here
+    val out = hub.join(auth, "id")
+      .select(col("id"), round(col("h"), 6).as("hub"), round(col("a"), 6).as("auth"))
+      .orderBy("id").localCheckpoint()
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
+  /** [[hitsEdges]] over the same deterministic events-derived edge list as
+    * [[pageRank]]. */
+  def hitsEvents(events: DataFrame, mod: Int, iters: Int): DataFrame =
+    hitsEdges(events.select(
+      (col("user_id") % mod).as("src"),
+      (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")), iters)
+
+  /** Matching DuckDB oracle for [[hitsEvents]] — chained CTEs, two per
+    * iteration (auth step then hub step, each L1-normalized). */
+  def hitsOracleSql(mod: Int, iters: Int): String = {
+    val base =
+      s"""WITH edges AS (SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
+         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM nodes)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""a${i}r AS (SELECT n.id, coalesce(sum(p.h), CAST(0 AS DOUBLE)) AS a
+           |  FROM nodes n LEFT JOIN edges e ON e.dst = n.id
+           |  LEFT JOIN h${i - 1} p ON p.id = e.src GROUP BY n.id)""".stripMargin,
+        s"a$i AS (SELECT id, a / (SELECT sum(a) FROM a${i}r) AS a FROM a${i}r)",
+        s"""h${i}r AS (SELECT n.id, coalesce(sum(p.a), CAST(0 AS DOUBLE)) AS h
+           |  FROM nodes n LEFT JOIN edges e ON e.src = n.id
+           |  LEFT JOIN a$i p ON p.id = e.dst GROUP BY n.id)""".stripMargin,
+        s"h$i AS (SELECT id, h / (SELECT sum(h) FROM h${i}r) AS h FROM h${i}r)")
+    }
+    (base +: steps).mkString(",\n") +
+      s"""\nSELECT h.id, round(h.h, 6) AS hub, round(a.a, 6) AS auth
+         |FROM h$iters h JOIN a$iters a ON a.id = h.id ORDER BY h.id""".stripMargin
+  }
+
   /** F7: bit-packed metadata filter — pack (quality, ybyte) into a long,
     * filter on decoded fields (ParamMatchingQueryFilter.java:18-97 analog). */
   def metaFilter(docs: DataFrame): DataFrame =

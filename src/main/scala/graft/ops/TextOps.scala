@@ -717,6 +717,24 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** T19: within-document repeated-line removal — the row-local member of
+    * the boilerplate-dedup family (C4 drops repeated spans, Raffel et al.
+    * 2020 §2.2; CCNet dedups paragraphs corpus-wide — that cross-doc case
+    * is d10): keep the FIRST occurrence of each distinct line, preserving
+    * order, and report how many lines were dropped. Navigation chrome,
+    * repeated headers, and copy-pasted banners collapse to one copy.
+    *
+    * Scale: entirely row-local — split / array_distinct (which preserves
+    * first-occurrence order) / array_join ride the scan inside codegen; no
+    * shuffle, no UDF, works unchanged at 100 TB. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    docs.select(col("doc_id"),
+        array_join(array_distinct(lines), "\n").as("text"),
+        (size(lines) - size(array_distinct(lines))).cast("long").as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** T10: important-words summary extraction — the plain-text analog of the
     * reference's SummaryExtractor chain (summary-extraction/.../
     * SummaryExtractor.java:38-56): the text is scanned in fixed

@@ -634,6 +634,131 @@ object VectorOps {
       .limit(kTop)
   }
 
+  // --- V7b: persisted IVF-PQ index (coarse quantizer + residual PQ codes) ---
+
+  /** Persisted IVF-PQ index — the FAISS `IVFx,PQy` serving shape, composing
+    * the coarse quantizer of [[buildIvfSqIndex]] with RESIDUAL product
+    * quantization (Jégou et al. 2011 §IV-A): each vector is stored as its
+    * cell id plus the PQ codes of (x − centroid_cell). Residuals concentrate
+    * near the origin, so the same m×kSub codebook budget covers a far
+    * smaller volume than raw vectors — the standard reason serving indexes
+    * encode residuals. All m sub-quantizers train in one [[pqTrain]] pass
+    * over the residual stream (itself one narrow map against the broadcast
+    * centroids). At rest: m small ints per vector + the cell partition key —
+    * a query reads nProbe/k of the corpus via partition pruning AND only m
+    * bytes per vector read. Nothing corpus-sized ever reaches the driver. */
+  def buildIvfPqIndex(emb: DataFrame, dir: String, k: Int = 16, iters: Int = 5,
+                      m: Int = 8, kSub: Int = 32): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = kmeansCentroids(emb, k, iters)
+    val bc = spark.sparkContext.broadcast(centers)
+    // residual stream — kept float like the input column so training and
+    // encoding see bit-identical coordinates regardless of partitioning
+    val resid = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val cell = nearestCell(bc.value, e)
+        val c = bc.value(cell)
+        val r = new Array[Float](e.length)
+        var i = 0
+        while (i < e.length) { r(i) = (e(i) - c(i)).toFloat; i += 1 }
+        (id, r, cell)
+      }.toDF("vec_id", "embedding", "cell").cache()
+    val books = pqTrain(resid.select("vec_id", "embedding"), m, kSub, iters)
+    val bb = spark.sparkContext.broadcast(books)
+    val sub = books.head.head.length
+    resid.as[(Long, Array[Float], Int)].map { case (id, r, cell) =>
+        val bs = bb.value
+        val codes = new Array[Int](bs.length)
+        var mi = 0
+        while (mi < bs.length) {
+          val s = new Array[Double](sub)
+          var i = 0
+          while (i < sub) { s(i) = r(mi * sub + i); i += 1 }
+          codes(mi) = nearestCellD(bs(mi), s)
+          mi += 1
+        }
+        (id, codes, cell)
+      }.toDF("vec_id", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    resid.unpersist()
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    books.zipWithIndex.flatMap { case (book, mi) =>
+        book.zipWithIndex.map { case (c, ci) => (mi, ci, c) }
+      }.toSeq.toDF("mi", "ci", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
+  }
+
+  /** Query a [[buildIvfPqIndex]] snapshot: rank cells by centroid distance
+    * (driver-trivial), scan ONLY the probed cell partitions, and rank by the
+    * asymmetric-distance cosine against the reconstruction
+    * x̂ = centroid_cell + r̂. The cosine decomposes into LUT lookups:
+    *   dot(q, x̂)  = dot(q, c) + Σ_mi lutQ(mi, code)
+    *   ‖x̂‖²       = ‖c‖² + Σ_mi (2·lutC(cell, mi, code) + lutN(mi, code))
+    * where lutQ/lutN are cell-independent and lutC (centroid×book cross
+    * terms) is k·m·kSub doubles total — all driver-built from the stored
+    * sidecar tables and broadcast; the scan does 3m lookups per vector. */
+  def ivfPqIndexTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     query: Array[Float], kTop: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val books = spark.read.parquet(s"$dir/books")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val m = books.length
+    val sub = books.head.head.length
+    val q = query.map(_.toDouble)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    def dotAt(mi: Int, v: Array[Double], c: Array[Double]): Double = {
+      var d = 0.0
+      var i = 0
+      while (i < sub) { d += v(mi * sub + i) * c(i); i += 1 }
+      d
+    }
+    val probes = centers.map { case (cell, c) =>
+      var d = 0.0
+      var j = 0
+      while (j < q.length) { val x = q(j) - c(j); d += x * x; j += 1 }
+      (cell, d)
+    }.sortBy { case (cell, d) => (d, cell) }.take(nProbe).map(_._1)
+    val lutQ = Array.tabulate(m)(mi => books(mi).map(c => dotAt(mi, q, c)))
+    val lutN = books.map(_.map(c => c.map(x => x * x).sum))
+    val cellScalars = probes.map { cell =>
+      val c = centers(cell)._2
+      cell -> ((q.zip(c).map { case (a, b) => a * b }.sum, c.map(x => x * x).sum))
+    }.toMap
+    val lutC = probes.map { cell =>
+      val c = centers(cell)._2
+      cell -> Array.tabulate(m)(mi => books(mi).map(b => dotAt(mi, c, b)))
+    }.toMap
+    val bcQ = spark.sparkContext.broadcast((lutQ, lutN, cellScalars, lutC, qNorm))
+    spark.read.parquet(s"$dir/codes")
+      .where(col("cell").isin(probes.toSeq: _*))
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Array[Int], Int)]
+      .map { case (id, codes, cell) =>
+        val (lq, ln, sc, lc, qn) = bcQ.value
+        val (qc, cc) = sc(cell)
+        val lcc = lc(cell)
+        var dot = qc
+        var nrm = cc
+        var mi = 0
+        while (mi < codes.length) {
+          val ci = codes(mi)
+          dot += lq(mi)(ci)
+          nrm += 2.0 * lcc(mi)(ci) + ln(mi)(ci)
+          mi += 1
+        }
+        (id, math.rint(dot / (qn * math.sqrt(nrm)) * 1e4) / 1e4)
+      }.toDF("vec_id", "cos")
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(kTop)
+  }
+
   // --- V6: batched ANN (many queries, ONE corpus pass) ----------------------
 
   /** Bounded top-k Aggregator: the buffer never exceeds k entries, so the

@@ -174,4 +174,23 @@ class PlanQualitySpec extends AnyFunSuite {
     // and the union stays below the exchange: no per-input shuffle
     assert(plan.contains("Union"), s"expected a pre-shuffle Union:\n$plan")
   }
+
+  test("window top-k gets Spark's group-limit pushdown below the exchange") {
+    // the a8 shape: rank-filter over a window. Spark 4's InferWindowGroupLimit
+    // must insert a PARTIAL WindowGroupLimit below the shuffle (map-side ≤k
+    // rows per key per partition) and a FINAL one above — this is the builtin
+    // scale lever the repo's window-top-k oracles lean on at 100 TB, asserted
+    // here so a config/regression that disables it is caught.
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    val q = docs.select(col("lang"), col("doc_id"), col("n_chars"),
+        org.apache.spark.sql.functions.row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+    val plan = planOf(q)
+    assert(plan.contains("WindowGroupLimit") &&
+      "WindowGroupLimit.*Partial".r.findFirstIn(plan).isDefined &&
+      "WindowGroupLimit.*Final".r.findFirstIn(plan).isDefined,
+      s"expected Partial+Final WindowGroupLimit:\n$plan")
+  }
 }

@@ -182,4 +182,30 @@ class SeededPageRankSpec extends AnyFunSuite {
     // every leaf linking to the seeded hub outranks the off-hub chain
     assert(ranks(1L) > ranks(29L) && ranks(1L) > ranks(40L) && ranks(41L) === 0.0)
   }
+
+  test("HITS: one hand-computed iteration, and mutual reinforcement at depth") {
+    import spark.implicits._
+    // 1→2, 3→2, 2→4: after the first auth step a={2:2/3, 4:1/3}; the hub
+    // step then gives h={1:0.4, 3:0.4, 2:0.2, 4:0} (L1-normalized).
+    val edges = Seq((1L, 2L), (3L, 2L), (2L, 4L)).toDF("src", "dst")
+    val one = RelationalOps.hitsEdges(edges, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(one(2L) === ((0.2, 0.666667)))
+    assert(one(4L) === ((0.0, 0.333333)))
+    assert(one(1L) === ((0.4, 0.0)) && one(3L) === ((0.4, 0.0)))
+
+    // mutual reinforcement: two disjoint bipartite blocks, the bigger block's
+    // hubs AND authorities dominate after a few iterations
+    val big = for (s <- 10L to 14L; d <- 20L to 24L) yield (s, d)
+    val small = Seq((30L, 40L), (31L, 40L))
+    val deep = RelationalOps.hitsEdges((big ++ small).toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(deep(10L)._1 > deep(30L)._1, s"big-block hub must dominate: $deep")
+    assert(deep(20L)._2 > deep(40L)._2, s"big-block auth must dominate: $deep")
+    // duplicate edges and self-loops must not perturb the result
+    val noisy = RelationalOps.hitsEdges(
+      (big ++ small ++ Seq((10L, 20L), (10L, 10L))).toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(noisy === deep)
+  }
 }

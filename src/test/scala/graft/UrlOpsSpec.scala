@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.UrlOps
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference parity for URL canonicalization: every case below is a direct
+  * port of the reference's own EdgeDomainTest / EdgeUrlTest expectations
+  * (code/common/model/src/test/java/nu/marginalia/model/). */
+class UrlOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-url-ops")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def canon(urls: String*): Seq[(String, String, String, Any, String, String)] = {
+    import spark.implicits._
+    UrlOps.urlCanonical(urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }
+        .toDF("doc_id", "url")).orderBy("doc_id")
+      .collect().map(r => (
+        r.getAs[String]("subdomain"), r.getAs[String]("domain"),
+        r.getAs[String]("proto"),
+        if (r.isNullAt(r.fieldIndex("port"))) null else r.getAs[Long]("port"),
+        Option(r.getAs[String]("param")).orNull,
+        r.getAs[String]("canonical"))).toSeq
+  }
+
+  test("EdgeDomainTest host splits: www/gov-TLD/IP/dotless quirks") {
+    val rows = canon(
+      "http://www.skepdic.com/astrology.html", // testSkepdic
+      "http://l7072i3.l7c.net",                // testHkDomain
+      "http://endless.horse/",                 // testEndlessHorse
+      "http://uj.edu.pl",                      // testEduSubDomain (3-label gov → no subdomain)
+      "http://marginalia.co.uk",               // testUkDomain2
+      "http://www.marginalia.co.uk",           // testUkDomain
+      "http://www.marginalia.abcf.de",         // testThreeLetterDomain (4-letter TLD2 → NOT gov)
+      "https://127.0.0.1:8080")                // testIpPort
+    assert(rows(0)._1 === "www" && rows(0)._2 === "skepdic.com")
+    assert(rows(1)._1 === "l7072i3" && rows(1)._2 === "l7c.net")
+    assert(rows(2)._1 === "" && rows(2)._2 === "endless.horse")
+    assert(rows(3)._1 === "" && rows(3)._2 === "uj.edu.pl")
+    assert(rows(4)._1 === "" && rows(4)._2 === "marginalia.co.uk")
+    assert(rows(5)._1 === "www" && rows(5)._2 === "marginalia.co.uk")
+    assert(rows(6)._1 === "www.marginalia" && rows(6)._2 === "abcf.de")
+    assert(rows(7)._1 === "" && rows(7)._2 === "127.0.0.1" && rows(7)._4 === 8080L)
+  }
+
+  test("EdgeUrlTest rendering: fragments dropped, params sanitized, ports elided") {
+    val rows = canon(
+      "https://memex.marginalia.nu/#here",     // testFragment → equals bare /
+      "https://memex.marginalia.nu/index.php?id=1",
+      "https://memex.marginalia.nu/showthread.php?id=1&count=5&tracking=123",
+      "https://search.marginalia.nu/?id=123",
+      "https://search.marginalia.nu/?m=123",   // not whitelisted → dropped
+      "http://www.marginalia.nu",              // testGetDomain toString
+      "HTTPS://www.Marginalia.nu:443/Path?v=9")
+    assert(rows(0)._6 === "https://memex.marginalia.nu/")
+    assert(rows(1)._5 === "id=1")
+    assert(rows(2)._5 === "id=1") // id= whitelisted even on showthread pages
+    assert(rows(3)._5 === "id=123")
+    assert(rows(4)._5 === null)
+    assert(rows(5)._6 === "http://www.marginalia.nu/")
+    // case folding + https default-port elision + path case preserved
+    assert(rows(6)._6 === "https://www.marginalia.nu/Path?v=9")
+  }
+
+  test("urlDedup folds case/port/junk-param variants to one representative") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "http://WWW.Example.COM:80/a?id=7&utm=x"),
+      (1L, "HtTp://www.example.com/a?id=7"),
+      (2L, "http://www.example.com/a?id=7#frag"),
+      (3L, "http://www.example.com/b")
+    ).toDF("doc_id", "url")
+    val r = graft.ops.DedupOps.urlDedup(df).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getBoolean(2)))).toMap
+    assert(r(0L) === (("http://www.example.com/a?id=7", true)))
+    assert(r(1L) === (("http://www.example.com/a?id=7", false)))
+    assert(r(2L) === (("http://www.example.com/a?id=7", false)))
+    assert(r(3L) === (("http://www.example.com/b", true)))
+  }
+
+  test("plan stays row-local: no join, no window, no exchange") {
+    import spark.implicits._
+    val df = UrlOps.urlCanonical(
+      Seq((0L, "http://a.example.com/x?id=1")).toDF("doc_id", "url"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window") &&
+      !plan.contains("Exchange"), plan)
+  }
+}
