@@ -401,6 +401,16 @@ object SparkEntry {
       DedupOps.urlDedup(
         docs(s, dir).select(col("doc_id"), expr(UrlDedupPlantExpr).as("url")))),
 
+    // w2: the site-info domain profile — page counts, link partners, and
+    // the reference's rendered rank percentile, one job over the j6 graph.
+    "w2_domain_profile" -> ((s, dir) =>
+      AdjacencyOps.domainProfile(
+        docs(s, dir).select((col("doc_id") % 50).as("domain_id"),
+          (col("n_chars") > 800).as("indexed")),
+        tbl(s, dir, "events").select(
+          (col("user_id") % 50).as("src"),
+          (abs(floor(col("value") * 7).cast("long")) % 50).as("dst")), 3)),
+
     // p1: the composed curation chain — exact dedup → decontamination (vs the
     // same doc_id%50 eval split d8 uses) → language + quality gates → packed
     // 2048-token chunks. One call, end-to-end, over the audited parts.
@@ -1241,6 +1251,32 @@ object SparkEntry {
           |m AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 GROUP BY canonical)
           |SELECT p6.doc_id, p6.canonical, (p6.doc_id = m.keep_id) AS keep
           |FROM p6 JOIN m USING (canonical) ORDER BY p6.doc_id""".stripMargin),
+
+    // w2: the j6 PR CTE chain + three aggregates + full-outer assembly;
+    // ranking rendered with the reference's round(10000*(1-pct))/100.
+    "w2_domain_profile" ->
+      (RelationalOps.pageRankCtes(50, 3) +
+        s""",
+           |pages AS (SELECT doc_id % 50 AS domain_id, count(*) AS pages_known,
+           |  sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)::BIGINT AS pages_indexed
+           |  FROM documents GROUP BY 1),
+           |inc AS (SELECT dst AS domain_id, count(DISTINCT src) AS incoming_links FROM edges GROUP BY 1),
+           |outg AS (SELECT src AS domain_id, count(DISTINCT dst) AS outgoing_links FROM edges GROUP BY 1),
+           |ranked AS (SELECT id AS domain_id,
+           |  round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0 AS ranking
+           |  FROM r3)
+           |SELECT domain_id,
+           |  coalesce(pages_known, 0)::BIGINT AS pages_known,
+           |  coalesce(pages_indexed, 0)::BIGINT AS pages_indexed,
+           |  coalesce(incoming_links, 0)::BIGINT AS incoming_links,
+           |  coalesce(outgoing_links, 0)::BIGINT AS outgoing_links,
+           |  ranking,
+           |  (coalesce(pages_known, 0) = 0) AS suggest_for_crawling
+           |FROM pages
+           |FULL JOIN inc USING (domain_id)
+           |FULL JOIN outg USING (domain_id)
+           |FULL JOIN ranked USING (domain_id)
+           |ORDER BY domain_id""".stripMargin),
 
     "p1_curation" -> {
       val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")

@@ -169,4 +169,56 @@ object AdjacencyOps {
       .union(sim.select(col("neighbor_id").as("src"), col("domain_id").as("dst")))
     RelationalOps.seededPageRank(bidi, origins, iters)
   }
+
+  /** W2: the reference's site-info domain profile
+    * (`DomainInformationService.domainInfo`, search-service/.../siteinfo/
+    * DomainInformationService.java:43-86) rebuilt as ONE relational job
+    * over the corpus + link graph instead of seven point queries against
+    * MariaDB: per domain — pages known and indexed, distinct incoming /
+    * outgoing link partners, the rank rendered with the reference's exact
+    * `Math.round(10000·(1−percentile))/100` formula (:64, best = 100.0),
+    * and `suggest_for_crawling` = no pages known (:82; we equate
+    * known≈visited — the crawl ledger distinguishing them is DB state with
+    * no corpus analog). Domains outside the link graph carry a null
+    * ranking (the `unknownDomain` arm).
+    *
+    * `docsByDomain`: (domain_id, indexed: boolean) one row per page;
+    * `links`: (src, dst).
+    *
+    * Scale: three map-side-combined aggregates + a full-outer assembly on
+    * domain_id (AQE sizes them; all are one-row-per-domain), and the
+    * percentile window runs over ONE ROW PER DOMAIN — same ~10^7 note as
+    * [[RelationalOps.domainRanksFromPageRank]]. The serving shape is a
+    * build-once profile TABLE keyed by domain, not a per-request query. */
+  def domainProfile(docsByDomain: DataFrame, links: DataFrame,
+                    iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pages = docsByDomain.groupBy("domain_id").agg(
+      count(lit(1)).as("pages_known"),
+      sum(when(col("indexed"), 1L).otherwise(0L)).as("pages_indexed"))
+    val e = links.where(col("src") =!= col("dst")).distinct().localCheckpoint()
+    val inc = e.groupBy(col("dst").as("domain_id"))
+      .agg(countDistinct("src").as("incoming_links"))
+    val outg = e.groupBy(col("src").as("domain_id"))
+      .agg(countDistinct("dst").as("outgoing_links"))
+    // percentile ordering on r ROUNDED to 8 (the j6 oracle's comparison
+    // precision): raw doubles differ in the last ulp across engines and an
+    // ordinal rank amplifies any near-tie flip into a wrong percentile
+    val ranked = RelationalOps.pageRankEdges(e, iters)
+      .select(col("id").as("domain_id"),
+        (round((lit(1.0) - percent_rank().over(
+          Window.orderBy(round(col("r"), 8).desc, col("id")))) * 10000.0) / 100.0)
+          .as("ranking"))
+    pages.join(inc, Seq("domain_id"), "full")
+      .join(outg, Seq("domain_id"), "full")
+      .join(ranked, Seq("domain_id"), "full")
+      .select(col("domain_id"),
+        coalesce(col("pages_known"), lit(0L)).as("pages_known"),
+        coalesce(col("pages_indexed"), lit(0L)).as("pages_indexed"),
+        coalesce(col("incoming_links"), lit(0L)).as("incoming_links"),
+        coalesce(col("outgoing_links"), lit(0L)).as("outgoing_links"),
+        col("ranking"),
+        (coalesce(col("pages_known"), lit(0L)) === 0L).as("suggest_for_crawling"))
+      .orderBy("domain_id")
+  }
 }

@@ -136,7 +136,11 @@ object RelationalOps {
           base.select(col("id"), (col("r") + when(col("id").isin(origins: _*),
             lit(teleport / k)).otherwise(lit(0.0))).as("r"))
         else base
-      if (i % 8 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // reverse mode reads `ranks` TWICE per iteration (the contrib join AND
+      // the ‖rank‖₁ aggregate), so without a per-iteration cut each norm
+      // re-derives the whole chain so far — the HITS lesson (see hitsEdges);
+      // standard mode reads it once and a cut every 8 iterations suffices
+      if ((reverse || i % 8 == 0) && i < iters) ranks = ranks.localCheckpoint()
     }
     // materialize the (one-row-per-node) result, then release the inputs —
     // repeated invocations in a long-lived session must not accumulate
@@ -338,8 +342,9 @@ object RelationalOps {
     (base +: steps).mkString(",\n")
   }
 
-  /** Matching DuckDB oracle for [[pageRank]] — chained CTEs, one per iteration. */
-  def pageRankOracleSql(mod: Int, iters: Int): String = {
+  /** The [[pageRank]] oracle's CTE chain (edges/nodes/deg/r0..r`iters`)
+    * without a final SELECT — shared by the j6 oracle and the w2 profile. */
+  def pageRankCtes(mod: Int, iters: Int): String = {
     val base =
       s"""WITH edges AS (SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
          |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod),
@@ -355,9 +360,13 @@ object RelationalOps {
          |  LEFT JOIN r${i - 1} p ON p.id = e.src
          |  GROUP BY n.id)""".stripMargin
     }
-    (base +: steps).mkString(",\n") +
-      s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
+    (base +: steps).mkString(",\n")
   }
+
+  /** Matching DuckDB oracle for [[pageRank]] — chained CTEs, one per iteration. */
+  def pageRankOracleSql(mod: Int, iters: Int): String =
+    pageRankCtes(mod, iters) +
+      s"\nSELECT id, round(r, 8) AS rank FROM r$iters ORDER BY id"
 
   /** J13: HITS hubs & authorities (Kleinberg 1999) over an arbitrary
     * (src, dst) edge list — the link-analysis sibling of the reference's

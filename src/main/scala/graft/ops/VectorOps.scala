@@ -691,6 +691,45 @@ object VectorOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/books")
   }
 
+  /** Append new vectors to a [[buildIvfPqIndex]] snapshot WITHOUT
+    * retraining — the IVF-PQ serving-update path, same operational trade as
+    * [[appendIvfSqIndex]]: new vectors are assigned to the STORED coarse
+    * centroids and their residuals encoded against the STORED codebooks,
+    * then appended to the matching cell partitions. Queries stay correct
+    * immediately (a probe scans whole cells); recall decays only with
+    * distribution drift, and the periodic rebuild retrains both quantizer
+    * levels. One narrow map + a partitioned append; nothing rewritten. */
+  def appendIvfPqIndex(emb: DataFrame, dir: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$dir/centroids")
+      .as[(Int, Array[Double])].collect().sortBy(_._1).map(_._2)
+    val books = spark.read.parquet(s"$dir/books")
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3)).toArray
+    val bc = spark.sparkContext.broadcast(centers)
+    val bb = spark.sparkContext.broadcast(books)
+    val sub = books.head.head.length
+    emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, e) =>
+        val cell = nearestCell(bc.value, e)
+        val c = bc.value(cell)
+        val bs = bb.value
+        val codes = new Array[Int](bs.length)
+        var mi = 0
+        while (mi < bs.length) {
+          val s = new Array[Double](sub)
+          var i = 0
+          while (i < sub) { s(i) = (e(mi * sub + i) - c(mi * sub + i)).toFloat; i += 1 }
+          codes(mi) = nearestCellD(bs(mi), s)
+          mi += 1
+        }
+        (id, codes, cell)
+      }.toDF("vec_id", "codes", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+  }
+
   /** Query a [[buildIvfPqIndex]] snapshot: rank cells by centroid distance
     * (driver-trivial), scan ONLY the probed cell partitions, and rank by the
     * asymmetric-distance cosine against the reconstruction

@@ -113,4 +113,29 @@ class AdjacencySpec extends AnyFunSuite {
     assert(!got.exists(r => r._1 == 1000L && r._2 == 2000L))
     assert(got === bruteForce(links, 2, 10000, 128, 0.1))
   }
+
+  test("domainProfile: counts, link partners, rendered rank, crawl suggestion") {
+    import spark.implicits._
+    // pages: domain 1 has 3 pages (2 indexed), domain 2 has 1, domain 9
+    // has a page but NO links (null ranking); domain 3 is graph-only.
+    val docs = Seq(
+      (1L, true), (1L, true), (1L, false),
+      (2L, false), (9L, true)).toDF("domain_id", "indexed")
+    // graph: 2→1, 3→1 (dup + self-loop must be ignored), 1→3
+    val links = Seq((2L, 1L), (3L, 1L), (3L, 1L), (1L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    // one PR iteration: r(1) = 0.05 + 0.85·(⅓+⅓) — the double in-link hub
+    // leads outright (a second iteration would hand the lead to 3, which
+    // receives the hub's whole mass back through the 1→3 edge)
+    val r = graft.ops.AdjacencyOps.domainProfile(docs, links, 1).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) === 3L && r(1L).getLong(2) === 2L) // pages
+    assert(r(1L).getLong(3) === 2L && r(1L).getLong(4) === 1L) // in 2,3 / out 3
+    assert(r(9L).isNullAt(5) && !r(9L).getBoolean(6))  // linkless: null rank
+    assert(r(3L).getLong(1) === 0L && r(3L).getBoolean(6)) // graph-only → suggest
+    // rendered rank: best domain = 100.0, worst = 0.0, all in [0, 100]
+    val ranks = Seq(1L, 2L, 3L).map(d => r(d).getDouble(5))
+    assert(ranks.max === 100.0 && ranks.min === 0.0)
+    assert(r(1L).getDouble(5) === 100.0, s"hub with 2 in-links must rank best: $ranks")
+  }
 }

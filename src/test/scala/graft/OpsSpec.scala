@@ -1085,4 +1085,42 @@ class OpsSpec extends AnyFunSuite {
     val recall = (brute & prunedIds).size
     assert(recall >= 6, s"IVF-PQ recall@20 at nProbe=4/8 collapsed: $recall")
   }
+
+  test("appendIvfPqIndex: no-retrain append serves identically from stored artifacts") {
+    import java.nio.file.Files
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dir = Files.createTempDirectory(java.nio.file.Paths.get("target"), "ivfpqa").toString
+    // build on the even half, append the odd half with stored centroids/books
+    VectorOps.buildIvfPqIndex(emb.where(col("vec_id") % 2 === 0), dir,
+      k = 8, iters = 2, m = 8, kSub = 16)
+    VectorOps.appendIvfPqIndex(emb.where(col("vec_id") % 2 === 1), dir)
+    val codes = spark.read.parquet(s"$dir/codes").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toArray, r.getAs[Int]("cell")))
+    // every vector present exactly once, both halves
+    assert(codes.map(_._1).distinct.length === codes.length)
+    assert(codes.length === emb.count())
+    // probe-all serving over the merged index equals the ADC ranking
+    // recomputed from the stored sidecars (same identity as the build test)
+    val centers = spark.read.parquet(s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val books = spark.read.parquet(s"$dir/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    val q = emb.where(col("vec_id") === 1L) // an APPENDED vector as the query
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val qd = q.map(_.toDouble)
+    val qn = math.sqrt(qd.map(x => x * x).sum)
+    val expected = codes.map { case (id, cs, cell) =>
+      val re = centers(cell).clone()
+      val sub = re.length / cs.length
+      for (mi <- cs.indices; i <- 0 until sub)
+        re(mi * sub + i) += books((mi, cs(mi)))(i)
+      val dot = qd.zip(re).map { case (a, b) => a * b }.sum
+      val rn = math.sqrt(re.map(x => x * x).sum)
+      (id, math.rint(dot / (qn * rn) * 1e4) / 1e4)
+    }.sortBy { case (id, c) => (-c, id) }.take(20).toSeq
+    val got = VectorOps.ivfPqIndexTopK(spark, dir, q, 20, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) === expected.map(_._1),
+      s"post-append ADC ids diverge\n got=$got\n exp=$expected")
+  }
 }
