@@ -411,6 +411,19 @@ object SparkEntry {
           (col("user_id") % 50).as("src"),
           (abs(floor(col("value") * 7).cast("long")) % 50).as("dst")), 3)),
 
+    // w3: the composed crawl frontier — w1 canonicalize → d14 dedup → w2
+    // profile join, priority-ordered; domains 50-59 exist only as
+    // candidates (no pages, no links) and flag new_domain at priority −1.
+    "w3_crawl_frontier" -> ((s, dir) =>
+      UrlOps.crawlFrontier(
+        docs(s, dir).select(col("doc_id"), expr(W3PlantExpr).as("url"),
+          (col("doc_id") % 60).as("domain_id")),
+        docs(s, dir).select((col("doc_id") % 50).as("domain_id"),
+          (col("n_chars") > 800).as("indexed")),
+        tbl(s, dir, "events").select(
+          (col("user_id") % 50).as("src"),
+          (abs(floor(col("value") * 7).cast("long")) % 50).as("dst")), 3)),
+
     // p1: the composed curation chain — exact dedup → decontamination (vs the
     // same doc_id%50 eval split d8 uses) → language + quality gates → packed
     // 2048-token chunks. One call, end-to-end, over the audited parts.
@@ -940,6 +953,16 @@ object SparkEntry {
       "CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '/a?id=7&utm=x' " +
       "WHEN 1 THEN '/a?id=7' WHEN 2 THEN '/a' ELSE '/b' END"
 
+  /** w3 planted candidate URL — host domain from doc_id % 60 (10 domains
+    * past the profile graph's 0..49 → the new-domain arm), canonical
+    * identity from (doc_id % 60, % 100, % 3, % 10), so ids 300 apart
+    * collide and the dedup has real work; the :80 port folds everywhere. */
+  private val W3PlantExpr: String =
+    "'http://D' || CAST(doc_id % 60 AS STRING) || '.Example.COM' || " +
+      "CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END || " +
+      "'/page' || CAST(doc_id % 100 AS STRING) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 10 AS STRING) ELSE '' END"
+
   /** The DuckDB transcription of [[graft.ops.UrlOps.urlCanonical]] as a CTE
     * chain ending in `p6` (doc_id, url, proto, host, port, domain, path,
     * param, canonical) — shared by the w1 oracle and the d14 compose. */
@@ -1277,6 +1300,28 @@ object SparkEntry {
            |FULL JOIN outg USING (domain_id)
            |FULL JOIN ranked USING (domain_id)
            |ORDER BY domain_id""".stripMargin),
+
+    // w3: canonical CTE chain + PR CTE chain + pages/ranked + the keep
+    // election; left joins mirror the op's profile join on domain_id.
+    "w3_crawl_frontier" ->
+      (urlCanonCtes(W3PlantExpr) + ",\n" +
+        RelationalOps.pageRankCtes(50, 3).stripPrefix("WITH ") +
+        s""",
+           |pages AS (SELECT doc_id % 50 AS domain_id, count(*) AS pages_known
+           |  FROM documents GROUP BY 1),
+           |ranked AS (SELECT id AS domain_id,
+           |  round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0 AS ranking
+           |  FROM r3),
+           |keep AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 GROUP BY canonical)
+           |SELECT k.keep_id AS doc_id, k.canonical, (k.keep_id % 60) AS domain_id,
+           |  coalesce(pages_known, 0)::BIGINT AS pages_known,
+           |  ranking,
+           |  (coalesce(pages_known, 0) = 0) AS new_domain,
+           |  coalesce(ranking, -1.0) AS priority
+           |FROM keep k
+           |LEFT JOIN pages ON pages.domain_id = k.keep_id % 60
+           |LEFT JOIN ranked ON ranked.domain_id = k.keep_id % 60
+           |ORDER BY priority DESC, k.canonical""".stripMargin),
 
     "p1_curation" -> {
       val stops = TextOps.EnStopwords.map(t => s"'$t'").mkString(", ")

@@ -102,4 +102,38 @@ object UrlOps {
         path,
         when(param.isNull, lit("")).otherwise(concat(lit("?"), param))))
   }
+
+  /** W3: crawl-frontier assembly — the crawl-queue feeding workflow the
+    * reference runs across CRAWL_QUEUE + `suggestForCrawling`
+    * (DomainInformationService.java:80-82) and EdgeUrl canonical identity,
+    * composed from this family's parts: candidate URLs are canonicalized
+    * ([[urlCanonical]]), deduped to one min-doc_id representative per
+    * canonical ([[graft.ops.DedupOps.urlDedup]]), and joined against the
+    * domain profile ([[graft.ops.AdjacencyOps.domainProfile]]); each
+    * frontier row carries the rendered domain rank as its crawl priority
+    * (unknown domains — no pages, no links — flag `new_domain` and sort
+    * last at priority −1, the "suggest for crawling" arm).
+    *
+    * `candidates`: (doc_id, url, domain_id); `docsByDomain`/`links`: as
+    * [[graft.ops.AdjacencyOps.domainProfile]].
+    *
+    * Scale: canonicalization rides the scan; the dedup is one
+    * hash-aggregate + AQE join-back; the profile is one-row-per-domain and
+    * broadcasts onto the frontier join. No window touches the candidate
+    * set — the global priority order is the consumer's `orderBy` over
+    * (priority, canonical), a TakeOrderedAndProject under any `limit`. */
+  def crawlFrontier(candidates: DataFrame, docsByDomain: DataFrame,
+                    links: DataFrame, iters: Int): DataFrame = {
+    val kept = graft.ops.DedupOps.urlDedup(candidates.select("doc_id", "url"))
+      .where(col("keep"))
+      .join(candidates.select("doc_id", "domain_id"), "doc_id")
+    val profile = graft.ops.AdjacencyOps.domainProfile(docsByDomain, links, iters)
+    kept.join(profile, Seq("domain_id"), "left")
+      .select(col("doc_id"), col("canonical"), col("domain_id"),
+        coalesce(col("pages_known"), lit(0L)).as("pages_known"),
+        col("ranking"),
+        (coalesce(col("pages_known"), lit(0L)) === 0L).as("new_domain"),
+        coalesce(col("ranking"), lit(-1.0)).as("priority"))
+      .orderBy(col("priority").desc, col("canonical"))
+  }
 }

@@ -83,6 +83,27 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(r(3L) === (("http://www.example.com/b", true)))
   }
 
+  test("crawlFrontier: dedup, profile join, priority order, new-domain arm") {
+    import spark.implicits._
+    // candidates: two raw variants of one URL in known domain 1, one URL in
+    // unknown domain 9 (no pages, no links → new, priority −1)
+    val cands = Seq(
+      (0L, "http://D1.example.com:80/a?id=1", 1L),
+      (4L, "HtTp://d1.example.com/a?id=1", 1L),
+      (7L, "http://d9.example.com/x", 9L)
+    ).toDF("doc_id", "url", "domain_id")
+    val docs = Seq((1L, true), (2L, false)).toDF("domain_id", "indexed")
+    val links = Seq((2L, 1L)).toDF("src", "dst")
+    val r = graft.ops.UrlOps.crawlFrontier(cands, docs, links, 1).collect()
+    assert(r.length === 2, r.mkString(";"))
+    // known-domain representative first (rank 100), new domain last at −1
+    assert(r(0).getLong(0) === 0L &&
+      r(0).getString(1) === "http://d1.example.com/a?id=1" &&
+      r(0).getDouble(6) === 100.0 && !r(0).getBoolean(5))
+    assert(r(1).getLong(2) === 9L && r(1).getBoolean(5) &&
+      r(1).getDouble(6) === -1.0 && r(1).isNullAt(4))
+  }
+
   test("plan stays row-local: no join, no window, no exchange") {
     import spark.implicits._
     val df = UrlOps.urlCanonical(
