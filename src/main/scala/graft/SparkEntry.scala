@@ -972,7 +972,7 @@ object SparkEntry {
        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
        |  regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS authority,
        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
-       |  regexp_extract(url, '\\?([^#]*)', 1) AS query FROM aug),
+       |  regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query FROM aug),
        |p2 AS (SELECT *,
        |  CASE WHEN contains(authority, ':') THEN lower(split_part(authority, ':', 1)) ELSE lower(authority) END AS host,
        |  CASE WHEN contains(authority, ':') THEN try_cast(split_part(authority, ':', 2) AS BIGINT) END AS port_raw,

@@ -58,15 +58,19 @@ object UrlOps {
     val proto = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
     val authority = regexp_extract(u, "^[A-Za-z]+://([^/?#]*)", 1)
     val host = lower(substring_index(authority, ":", 1))
+    // try_cast, not cast: a malformed port (trailing ':', junk digits) must
+    // degrade to no-port, not throw under ANSI mode
     val portRaw = when(authority.contains(":"),
-      substring_index(authority, ":", -1).cast("long"))
+      substring_index(authority, ":", -1).try_cast("long"))
     val port = when(portRaw.isNull || portRaw < 1, lit(null).cast("long"))
       .when(proto === "http" && portRaw === 80, lit(null).cast("long"))
       .when(proto === "https" && portRaw === 443, lit(null).cast("long"))
       .otherwise(portRaw)
     val path0 = regexp_extract(u, "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = regexp_extract(u, "\\?([^#]*)", 1)
+    // anchor the query to the FIRST '?' that precedes any '#': a bare
+    // `\?([^#]*)` would match a '?' sitting inside the fragment
+    val query = regexp_extract(u, "^[^#?]*\\?([^#]*)", 1)
     val parts = filter(split(query, "&"), x => x =!= "")
     val kept = array_sort(filter(parts, x => isPermittedParam(path, x)))
     val joined = array_join(kept, "&")

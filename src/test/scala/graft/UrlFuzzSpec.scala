@@ -38,7 +38,9 @@ class UrlFuzzSpec extends AnyFunSuite {
     "id=1", "p=22", "f=3", "i=4", "start=50", "t=6", "v=7", "post=8",
     "showtopic=9", "showforum=10", "project=x", "story=y",
     "utm_source=feed", "junk=1", "m=0", "follow=a")
-  private val frags = Seq("", "#top", "#sec2")
+  // "#sec?9" locks the query anchor: a '?' INSIDE the fragment must not be
+  // parsed as a query string
+  private val frags = Seq("", "#top", "#sec2", "#sec?9")
 
   private def gen(rng: scala.util.Random): Parts = Parts(
     protos(rng.nextInt(protos.length)),
