@@ -401,6 +401,15 @@ object SparkEntry {
       DedupOps.urlDedup(
         docs(s, dir).select(col("doc_id"), expr(UrlDedupPlantExpr).as("url")))),
 
+    // w4: the reference's crawl-trap URL blocklist — bad domains, github
+    // deep paths, git-hash runs, wp-content/uploads, and the guarded
+    // link-farm regexes, plus the separate mailing-list signal.
+    "w4_url_blocklist" -> ((s, dir) =>
+      UrlOps.urlBlocklist(UrlOps.urlCanonical(
+        docs(s, dir).select(col("doc_id"), expr(W4PlantExpr).as("url"))))
+        .select("doc_id", "url", "canonical", "blocked", "mailing_list")
+        .orderBy("doc_id")),
+
     // w2: the site-info domain profile — page counts, link partners, and
     // the reference's rendered rank percentile, one job over the j6 graph.
     "w2_domain_profile" -> ((s, dir) =>
@@ -411,9 +420,11 @@ object SparkEntry {
           (col("user_id") % 50).as("src"),
           (abs(floor(col("value") * 7).cast("long")) % 50).as("dst")), 3)),
 
-    // w3: the composed crawl frontier — w1 canonicalize → d14 dedup → w2
-    // profile join, priority-ordered; domains 50-59 exist only as
-    // candidates (no pages, no links) and flag new_domain at priority −1.
+    // w3: the composed crawl frontier — w1 canonicalize → w4 blocklist →
+    // d14 dedup → w2 profile join, priority-ordered; domains 50-59 exist
+    // only as candidates (no pages, no links) and flag new_domain at
+    // priority −1; every doc_id % 11 == 0 candidate is a planted
+    // wp-content/uploads crawl trap the blocklist must exclude.
     "w3_crawl_frontier" -> ((s, dir) =>
       UrlOps.crawlFrontier(
         docs(s, dir).select(col("doc_id"), expr(W3PlantExpr).as("url"),
@@ -960,8 +971,46 @@ object SparkEntry {
   private val W3PlantExpr: String =
     "'http://D' || CAST(doc_id % 60 AS STRING) || '.Example.COM' || " +
       "CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END || " +
-      "'/page' || CAST(doc_id % 100 AS STRING) || " +
-      "CASE WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 10 AS STRING) ELSE '' END"
+      "CASE WHEN doc_id % 11 = 0 THEN '/wp-content/uploads/f' || CAST(doc_id % 5 AS STRING) || '.jpg' " +
+      "ELSE '/page' || CAST(doc_id % 100 AS STRING) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '?id=' || CAST(doc_id % 10 AS STRING) ELSE '' END END"
+
+  /** w4 planted URL — one arm per blocklist rule (git-hash run, wp-content,
+    * pdf/book link farms, bad domain, github depth, .git/, -download-free,
+    * /download farm) plus the two mailing-list arms and clean controls. */
+  private val W4PlantExpr: String =
+    "CASE CAST(doc_id % 13 AS INT) " +
+      "WHEN 0 THEN 'http://example.com/ghc/blob/1b1067d14b656bbbfa7c47f156ec2700c9751549/main.hs' " +
+      "WHEN 1 THEN 'http://example.com/wp-content/uploads/img' || CAST(doc_id % 7 AS STRING) || '.jpg' " +
+      "WHEN 2 THEN 'http://example.com/pdf/download-a-course-in-algebra.html' " +
+      "WHEN 3 THEN 'http://example.com/nope/x-a-course-in-algebra.html' " +
+      "WHEN 4 THEN 'http://t.co/x' || CAST(doc_id % 9 AS STRING) " +
+      "WHEN 5 THEN 'http://github.com/user/repo/blob/main' " +
+      "WHEN 6 THEN 'http://github.com/user/repo' " +
+      "WHEN 7 THEN 'http://example.com/proj/.git/config' " +
+      "WHEN 8 THEN 'http://example.com/get-download-free-now' " +
+      "WHEN 9 THEN 'http://example.com/lists/announce/msg' || CAST(doc_id % 5 AS STRING) " +
+      "WHEN 10 THEN 'http://example.com/pipermail/mailinglist/2020' " +
+      "WHEN 11 THEN 'http://example.com/download-free-books-online-full-version.html' " +
+      "ELSE 'http://example.com/page' || CAST(doc_id % 50 AS STRING) END"
+
+  /** The DuckDB transcription of [[graft.ops.UrlOps.urlBlocklist]]'s
+    * `blocked` predicate over the p6 columns — generated from the SAME
+    * guard/regex table the engine compiles ([[graft.ops.UrlOps
+    * .FarmPatterns]]), so the two cannot drift. */
+  private def blockedSqlExpr: String = {
+    val bad = graft.ops.UrlOps.BadDomains.map(d => s"'$d'").mkString(", ")
+    val farms = graft.ops.UrlOps.FarmPatterns.map { case (g, re) =>
+      s"(contains(path, '$g') AND regexp_matches(path, '$re'))"
+    }.mkString("\n    OR ")
+    s"""coalesce(domain IN ($bad)
+       |    OR (domain = 'github.com' AND len(string_split(path, '/')) - 1 > 2)
+       |    OR contains(path, '.git/')
+       |    OR contains(path, 'wp-content/upload')
+       |    OR contains(path, '-download-free')
+       |    OR (length(path) > 34 AND regexp_matches(path, '[0-9a-f]{32}'))
+       |    OR $farms, true)""".stripMargin
+  }
 
   /** The DuckDB transcription of [[graft.ops.UrlOps.urlCanonical]] as a CTE
     * chain ending in `p6` (doc_id, url, proto, host, port, domain, path,
@@ -973,10 +1022,14 @@ object SparkEntry {
        |  regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS authority,
        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
        |  regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query FROM aug),
-       |p2 AS (SELECT *,
-       |  CASE WHEN contains(authority, ':') THEN lower(split_part(authority, ':', 1)) ELSE lower(authority) END AS host,
-       |  CASE WHEN contains(authority, ':') THEN try_cast(split_part(authority, ':', 2) AS BIGINT) END AS port_raw,
+       |p2a AS (SELECT *, regexp_extract(authority, '([^@]*)$$', 1) AS hostport,
        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path FROM p1),
+       |p2 AS (SELECT *,
+       |  CASE WHEN starts_with(hostport, '[') THEN lower(regexp_extract(hostport, '^(\\[[^\\]]*\\])', 1))
+       |       ELSE lower(split_part(hostport, ':', 1)) END AS host,
+       |  CASE WHEN starts_with(hostport, '[') THEN try_cast(regexp_extract(hostport, '^\\[[^\\]]*\\]:([0-9]+)$$', 1) AS BIGINT)
+       |       ELSE try_cast(regexp_extract(hostport, '^[^:]*:([0-9]+)$$', 1) AS BIGINT) END AS port_raw
+       |  FROM p2a),
        |p3 AS (SELECT *,
        |  CASE WHEN port_raw IS NULL OR port_raw < 1 THEN NULL
        |       WHEN proto = 'http' AND port_raw = 80 THEN NULL
@@ -1003,9 +1056,15 @@ object SparkEntry {
        |       WHEN n_labels <= 2 THEN host
        |       WHEN is_gov THEN last3
        |       ELSE last2 END AS domain FROM p4),
-       |p6 AS (SELECT *,
-       |  proto || '://' || host || coalesce(':' || port, '') || path || coalesce('?' || param, '') AS canonical
-       |FROM p5)""".stripMargin
+       |p6 AS (SELECT doc_id, url,
+       |  CASE WHEN ok THEN proto END AS proto,
+       |  CASE WHEN ok THEN host END AS host,
+       |  CASE WHEN ok THEN port END AS port,
+       |  CASE WHEN ok THEN domain END AS domain,
+       |  CASE WHEN ok THEN path END AS path,
+       |  CASE WHEN ok THEN param END AS param,
+       |  CASE WHEN ok THEN proto || '://' || host || coalesce(':' || port, '') || path || coalesce('?' || param, '') END AS canonical
+       |FROM (SELECT *, (proto <> '' AND host <> '') AS ok FROM p5))""".stripMargin
 
   /** t11 planted date string — identical SQL text on both engines. Mode 2's
     * second year goes invalid past 2027, collapsing to the single-year
@@ -1271,9 +1330,20 @@ object SparkEntry {
     "d14_url_dedup" ->
       (urlCanonCtes(UrlDedupPlantExpr) +
         """,
-          |m AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 GROUP BY canonical)
-          |SELECT p6.doc_id, p6.canonical, (p6.doc_id = m.keep_id) AS keep
-          |FROM p6 JOIN m USING (canonical) ORDER BY p6.doc_id""".stripMargin),
+          |m AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 WHERE canonical IS NOT NULL GROUP BY canonical)
+          |SELECT p6.doc_id, p6.canonical, (p6.canonical IS NULL OR p6.doc_id = m.keep_id) AS keep
+          |FROM p6 LEFT JOIN m USING (canonical) ORDER BY p6.doc_id""".stripMargin),
+
+    // w4: the blocklist predicates over the canonical CTE chain — the
+    // blocked expression is GENERATED from the engine's own guard/regex
+    // table, so engine and oracle share one source of truth.
+    "w4_url_blocklist" ->
+      (urlCanonCtes(W4PlantExpr) +
+        s"""
+           |SELECT doc_id, url, canonical,
+           |  $blockedSqlExpr AS blocked,
+           |  coalesce(starts_with(path, '/lists/') OR contains(path, 'mailinglist'), false) AS mailing_list
+           |FROM p6 ORDER BY doc_id""".stripMargin),
 
     // w2: the j6 PR CTE chain + three aggregates + full-outer assembly;
     // ranking rendered with the reference's round(10000*(1-pct))/100.
@@ -1286,7 +1356,7 @@ object SparkEntry {
            |inc AS (SELECT dst AS domain_id, count(DISTINCT src) AS incoming_links FROM edges GROUP BY 1),
            |outg AS (SELECT src AS domain_id, count(DISTINCT dst) AS outgoing_links FROM edges GROUP BY 1),
            |ranked AS (SELECT id AS domain_id,
-           |  round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0 AS ranking
+           |  floor(round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0) AS ranking
            |  FROM r3)
            |SELECT domain_id,
            |  coalesce(pages_known, 0)::BIGINT AS pages_known,
@@ -1310,9 +1380,10 @@ object SparkEntry {
            |pages AS (SELECT doc_id % 50 AS domain_id, count(*) AS pages_known
            |  FROM documents GROUP BY 1),
            |ranked AS (SELECT id AS domain_id,
-           |  round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0 AS ranking
+           |  floor(round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0) AS ranking
            |  FROM r3),
-           |keep AS (SELECT canonical, min(doc_id) AS keep_id FROM p6 GROUP BY canonical)
+           |keep AS (SELECT canonical, min(doc_id) AS keep_id FROM p6
+           |  WHERE NOT $blockedSqlExpr GROUP BY canonical)
            |SELECT k.keep_id AS doc_id, k.canonical, (k.keep_id % 60) AS domain_id,
            |  coalesce(pages_known, 0)::BIGINT AS pages_known,
            |  ranking,

@@ -41,11 +41,15 @@ import org.apache.spark.sql.functions._
   * source's out-degree. The maxCard eligibility cap bounds every VECTOR
   * (so per-pair work and the reference's RAM bound), but hub SOURCES still
   * expand quadratically; the reference tolerates this because it holds the
-  * whole graph in one heap. At 100 TB set `maxSourceFanout` to drop hub
-  * sources from candidate generation (an explicit approximation — such
-  * sources carry near-zero weight 1/ln(2+card) only when they are also
-  * huge dests, but dropping them can lose candidates whose overlap is
-  * hub-only), or pre-bucket members by source so the join co-partitions.
+  * whole graph in one heap. `maxSourceFanout` (DEFAULT 10 000 — the same
+  * magnitude as maxCard, so pair volume per source is hard-bounded at
+  * 10⁸ and the uncapped quadratic path must be opted into with ≤ 0) drops
+  * hub sources from candidate generation. That is an explicit
+  * approximation: a pair whose overlap is hub-only loses those candidates
+  * — but note such pairs already score 0 on the weighted gate unless the
+  * hub is ALSO an eligible dest (source-only ids carry weight 0), so the
+  * cap's observable effect is confined to eligible-dest mega-hubs. Norms
+  * (sumw) always run over the UNCAPPED membership.
   * Everything downstream is per-pair aggregation + a per-focus top-k
   * (struct-max would not suffice here: topK > 1 ⇒ window over the FILTERED
   * pair set, partitioned by focus domain — bounded by topK·|domains|).
@@ -60,7 +64,7 @@ object AdjacencyOps {
                        maxCard: Int = 10000,
                        topK: Int = 128,
                        threshold: Double = 0.1,
-                       maxSourceFanout: Int = 0): DataFrame = {
+                       maxSourceFanout: Int = 10000): DataFrame = {
     val l = links.select(col("src").cast("long").as("src"),
                          col("dst").cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
@@ -204,11 +208,14 @@ object AdjacencyOps {
     // percentile ordering on r ROUNDED to 8 (the j6 oracle's comparison
     // precision): raw doubles differ in the last ulp across engines and an
     // ordinal rank amplifies any near-tie flip into a wrong percentile
+    // Math.round returns long and /100 is long division in Java, so the
+    // reference renders WHOLE-number percents (45.0, not 45.67) — floor
+    // reproduces that exactly; cast back to double for the served shape
     val ranked = RelationalOps.pageRankEdges(e, iters)
       .select(col("id").as("domain_id"),
-        (round((lit(1.0) - percent_rank().over(
+        floor(round((lit(1.0) - percent_rank().over(
           Window.orderBy(round(col("r"), 8).desc, col("id")))) * 10000.0) / 100.0)
-          .as("ranking"))
+          .cast("double").as("ranking"))
     pages.join(inc, Seq("domain_id"), "full")
       .join(outg, Seq("domain_id"), "full")
       .join(ranked, Seq("domain_id"), "full")

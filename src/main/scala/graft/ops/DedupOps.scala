@@ -45,13 +45,19 @@ object DedupOps {
     * Scale: canonicalization rides the scan (w1 is row-local); the group is
     * a hash-aggregate on canonical; the representative table (one row per
     * DISTINCT canonical) joins back — AQE broadcasts it at web dup rates.
-    * No window, corpus never sorts. */
+    * No window, corpus never sorts.
+    *
+    * Unparseable URLs carry a null canonical (EdgeUrl's Optional.empty —
+    * see [[UrlOps.urlCanonical]]) and are each kept (`keep = true`): a bad
+    * URL is not a duplicate of other bad URLs, and the caller decides
+    * whether to route or drop them. */
   def urlDedup(docsWithUrl: DataFrame): DataFrame = {
     val canon = UrlOps.urlCanonical(docsWithUrl).select("doc_id", "canonical")
-    val reps = canon.groupBy("canonical").agg(min("doc_id").as("keep_id"))
-    canon.join(reps, "canonical")
+    val reps = canon.where(col("canonical").isNotNull)
+      .groupBy("canonical").agg(min("doc_id").as("keep_id"))
+    canon.join(reps, Seq("canonical"), "left")
       .select(col("doc_id"), col("canonical"),
-        (col("doc_id") === col("keep_id")).as("keep"))
+        (col("canonical").isNull || col("doc_id") === col("keep_id")).as("keep"))
       .orderBy("doc_id")
   }
 

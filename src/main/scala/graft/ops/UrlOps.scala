@@ -27,6 +27,19 @@ import org.apache.spark.sql.functions._
   * java.net.URI can parse them; this operator canonicalizes well-formed
   * URLs, which is the part with dedup/canonicalization semantics.
   *
+  * Parse-failure semantics mirror the reference's `Optional.empty` (EdgeUrl
+  * construction throws → callers drop or route the row explicitly): inputs
+  * with no `scheme://` or an empty host null out EVERY parsed column
+  * including `canonical`, so downstream dedup/frontier consumers see bad
+  * rows as bad rows instead of folding all malformed inputs into one
+  * `':///'` group. Authorities are parsed like java.net.URI.getHost():
+  * userinfo (`user:pass@`) is stripped before the host/port split, and
+  * bracketed IPv6 literals (`[::1]:8080`) keep their brackets and split at
+  * the bracket-terminating colon. A port parses only from a well-formed
+  * all-digit tail after the host's first colon (`host:8080`); multi-colon
+  * junk (`a:b:80`) degrades to no-port rather than guessing a segment —
+  * the oracle SQL transcribes the identical rule.
+  *
   * Scale: every column is a row-local string/regex expression riding the
   * scan inside whole-stage codegen — no UDF, no shuffle, no driver state.
   * This is the canonicalization a crawl-frontier dedup or a URL-keyed
@@ -57,11 +70,17 @@ object UrlOps {
     val u = col(urlCol)
     val proto = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
     val authority = regexp_extract(u, "^[A-Za-z]+://([^/?#]*)", 1)
-    val host = lower(substring_index(authority, ":", 1))
-    // try_cast, not cast: a malformed port (trailing ':', junk digits) must
-    // degrade to no-port, not throw under ANSI mode
-    val portRaw = when(authority.contains(":"),
-      substring_index(authority, ":", -1).try_cast("long"))
+    // URI.getHost() semantics: drop userinfo, keep IPv6 brackets
+    val hostport = substring_index(authority, "@", -1)
+    val isV6 = hostport.startsWith("[")
+    val host = lower(when(isV6, regexp_extract(hostport, "^(\\[[^\\]]*\\])", 1))
+      .otherwise(substring_index(hostport, ":", 1)))
+    // a port exists only as a well-formed all-digit tail; regexp_extract
+    // yields "" on no-match and try_cast("") is null, so junk degrades to
+    // no-port instead of throwing under ANSI mode
+    val portRaw = when(isV6,
+        regexp_extract(hostport, "^\\[[^\\]]*\\]:([0-9]+)$", 1).try_cast("long"))
+      .otherwise(regexp_extract(hostport, "^[^:]*:([0-9]+)$", 1).try_cast("long"))
     val port = when(portRaw.isNull || portRaw < 1, lit(null).cast("long"))
       .when(proto === "http" && portRaw === 80, lit(null).cast("long"))
       .when(proto === "https" && portRaw === 443, lit(null).cast("long"))
@@ -93,26 +112,89 @@ object UrlOps {
     val subdomain = when(domain === host, lit(""))
       .otherwise(host.substr(lit(1), length(host) - length(domain) - 1))
 
-    df.withColumn("proto", proto)
-      .withColumn("host", host)
-      .withColumn("port", port)
-      .withColumn("domain", domain)
-      .withColumn("subdomain", subdomain)
-      .withColumn("path", path)
-      .withColumn("param", param)
-      .withColumn("canonical", concat(
+    // EdgeUrl parse failure → Optional.empty: no scheme or no host nulls
+    // every parsed column, so callers keep/route bad rows explicitly
+    val valid = proto =!= "" && host =!= ""
+    df.withColumn("proto", when(valid, proto))
+      .withColumn("host", when(valid, host))
+      .withColumn("port", when(valid, port))
+      .withColumn("domain", when(valid, domain))
+      .withColumn("subdomain", when(valid, subdomain))
+      .withColumn("path", when(valid, path))
+      .withColumn("param", when(valid, param))
+      .withColumn("canonical", when(valid, concat(
         proto, lit("://"), host,
         when(port.isNull, lit("")).otherwise(concat(lit(":"), port.cast("string"))),
         path,
-        when(param.isNull, lit("")).otherwise(concat(lit("?"), param))))
+        when(param.isNull, lit("")).otherwise(concat(lit("?"), param)))))
+  }
+
+  /** The reference's link-farm patterns (UrlBlocklist.java:29-37), each with
+    * its GuardedRegexFactory guard substring. The guard is a cheap contains()
+    * pre-test; it is SEMANTIC for "/720p" (the regex body `720p.*` does not
+    * require the leading slash), so every guard is kept, not just the
+    * perf-redundant ones. */
+  private[graft] val FarmPatterns: Seq[(String, String)] = Seq(
+    ("/download", "/download(-([A-Za-z]+|[0-9]+)){4,}\\.(htm|html|php)$"),
+    ("/permalink", "/permalink/[a-z]+(-([A-Za-z]+|[0-9]+)){3,}\\.(htm|html|php)$"),
+    ("webrx", "webrx3.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\\.(php|htm|html))$"),
+    ("lib", "lib.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\\.(php|htm|html))$"),
+    ("pdf", "pdf.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\\.(php|htm|html))$"),
+    ("book", "book.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\\.(php|htm|html))$"),
+    ("/720p", "720p.*/[A-Za-z]+(-([A-Za-z]+|[0-9]+)){3,}((-[0-9]+)?/|\\.(php|htm|html))$"),
+    ("/node", "/node/.*/[a-z]+(-[a-z0-9]+)+.htm$"))
+
+  /** The reference's known-bad domain set (UrlBlocklist.java:15-17). */
+  val BadDomains: Seq[String] = Seq(
+    "t.co", "facebook.com", "instagram.com", "youtube.com", "youtu.be", "amzn.to")
+
+  /** W4: crawl-trap URL blocklist — the reference's `UrlBlocklist`
+    * (crawl-blocklist/.../UrlBlocklist.java:11-99) as row-local column
+    * predicates over a [[urlCanonical]]-parsed frame (needs `domain` and
+    * `path`). Adds:
+    *
+    *   - `blocked`: bad-domain set (:15-17); github.com deeper than 2 path
+    *     segments (:76-78, don't deep-crawl git hosts); `.git/`,
+    *     `wp-content/upload`, `-download-free` substrings (:21-24);
+    *     `hashTest` — a run of ≥32 consecutive lowercase-hex chars in a
+    *     path longer than 34 (git hashes, :44-67 — the run-length loop is
+    *     exactly "contains [0-9a-f]{32}" plus the length guard); and the
+    *     eight guarded link-farm regexes (:29-37). Unparseable rows (null
+    *     domain/path) are blocked — a URL that does not parse cannot be
+    *     crawled, the frontier analog of the reference's catch → drop.
+    *   - `mailing_list`: `isMailingListLink` (:90-99) — `/lists/` prefix or
+    *     `mailinglist` substring; a separate signal, NOT part of blocked.
+    *
+    * Scale: pure row-local string/regex predicates riding the scan in
+    * whole-stage codegen (RLike is codegen'd); no UDF, no shuffle. This is
+    * the filter a 100 TB frontier runs on every candidate URL. */
+  def urlBlocklist(df: DataFrame): DataFrame = {
+    val p = col("path")
+    val d = col("domain")
+    val farm = FarmPatterns.map { case (g, re) => p.contains(g) && p.rlike(re) }
+      .reduce(_ || _)
+    val blocked =
+      d.isInCollection(BadDomains) ||
+        (d === "github.com" && size(split(p, "/")) - 1 > 2) ||
+        p.contains(".git/") ||
+        p.contains("wp-content/upload") ||
+        p.contains("-download-free") ||
+        (length(p) > 34 && p.rlike("[0-9a-f]{32}")) ||
+        farm
+    df.withColumn("blocked", coalesce(blocked, lit(true)))
+      .withColumn("mailing_list",
+        coalesce(p.startsWith("/lists/") || p.contains("mailinglist"), lit(false)))
   }
 
   /** W3: crawl-frontier assembly — the crawl-queue feeding workflow the
     * reference runs across CRAWL_QUEUE + `suggestForCrawling`
     * (DomainInformationService.java:80-82) and EdgeUrl canonical identity,
     * composed from this family's parts: candidate URLs are canonicalized
-    * ([[urlCanonical]]), deduped to one min-doc_id representative per
-    * canonical ([[graft.ops.DedupOps.urlDedup]]), and joined against the
+    * ([[urlCanonical]]), filtered through the crawl-trap blocklist
+    * ([[urlBlocklist]] — the reference runs every frontier URL through
+    * `UrlBlocklist` before enqueueing; unparseable rows are dropped here
+    * too, their canonical is null), deduped to one min-doc_id
+    * representative per canonical, and joined against the
     * domain profile ([[graft.ops.AdjacencyOps.domainProfile]]); each
     * frontier row carries the rendered domain rank as its crawl priority
     * (unknown domains — no pages, no links — flag `new_domain` and sort
@@ -128,8 +210,12 @@ object UrlOps {
     * (priority, canonical), a TakeOrderedAndProject under any `limit`. */
   def crawlFrontier(candidates: DataFrame, docsByDomain: DataFrame,
                     links: DataFrame, iters: Int): DataFrame = {
-    val kept = graft.ops.DedupOps.urlDedup(candidates.select("doc_id", "url"))
-      .where(col("keep"))
+    val canon = urlBlocklist(urlCanonical(candidates.select("doc_id", "url")))
+      .where(!col("blocked"))
+      .select("doc_id", "canonical")
+    val reps = canon.groupBy("canonical").agg(min("doc_id").as("keep_id"))
+    val kept = canon.join(reps, "canonical")
+      .where(col("doc_id") === col("keep_id"))
       .join(candidates.select("doc_id", "domain_id"), "doc_id")
     val profile = graft.ops.AdjacencyOps.domainProfile(docsByDomain, links, iters)
     kept.join(profile, Seq("domain_id"), "left")

@@ -711,6 +711,14 @@ object VectorOps {
     val bc = spark.sparkContext.broadcast(centers)
     val bb = spark.sparkContext.broadcast(books)
     val sub = books.head.head.length
+    // fail fast on the driver: a dim-mismatched append would otherwise die
+    // mid-job with an opaque AIOOBE inside an executor task (short vectors)
+    // or silently score tail dims against shorter centroids (long vectors)
+    val dim = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .head()._2.length
+    require(dim == centers.head.length && dim == books.length * sub,
+      s"appendIvfPqIndex: embedding dim $dim does not match the stored index " +
+        s"(coarse dim ${centers.head.length}, m=${books.length} x sub=$sub)")
     emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .map { case (id, e) =>
         val cell = nearestCell(bc.value, e)

@@ -114,6 +114,26 @@ class AdjacencySpec extends AnyFunSuite {
     assert(got === bruteForce(links, 2, 10000, 128, 0.1))
   }
 
+  test("maxSourceFanout drops hub sources from pair generation, keeps norms") {
+    // hub source 1 fans out to 15 dests (12..24 share ONLY the hub); source
+    // 2 covers {10, 11} as well. 1 and 2 are dests themselves so their
+    // weights are live and hub-only pairs would otherwise survive the
+    // weighted gate.
+    val links = (10L to 24L).map(d => (1L, d)) ++
+      Seq[(Long, Long)]((2L, 10L), (2L, 11L), (5L, 1L), (5L, 2L))
+    def runF(f: Int) = AdjacencyOps.domainSimilarity(
+      links.toDF("src", "dst"), minCard = 2, maxSourceFanout = f)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // uncapped: quadratic hub expansion — every pair among 12..24 appears
+    val uncapped = runF(0)
+    assert(uncapped.contains((12L, 13L)) && uncapped.size > 13 * 12)
+    // capped below the hub's fan-out: pair volume is bounded by the cap —
+    // only pairs sharing small sources survive (source 2 and its self-seed
+    // connect {2, 10, 11}); every hub-only pair among 12..24 is gone
+    assert(runF(10).toSet === Set(
+      (10L, 11L), (11L, 10L), (2L, 10L), (10L, 2L), (2L, 11L), (11L, 2L)))
+  }
+
   test("domainProfile: counts, link partners, rendered rank, crawl suggestion") {
     import spark.implicits._
     // pages: domain 1 has 3 pages (2 indexed), domain 2 has 1, domain 9

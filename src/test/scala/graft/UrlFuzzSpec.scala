@@ -21,8 +21,9 @@ class UrlFuzzSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private case class Parts(proto: String, host: String, port: Option[Int],
-                           path: String, params: Seq[String], frag: String)
+  private case class Parts(proto: String, user: String, host: String,
+                           port: Option[Int], path: String,
+                           params: Seq[String], frag: String)
 
   private val protos = Seq("http", "HTTPS", "HtTp", "ftp", "https")
   private val hosts = Seq(
@@ -42,8 +43,12 @@ class UrlFuzzSpec extends AnyFunSuite {
   // parsed as a query string
   private val frags = Seq("", "#top", "#sec2", "#sec?9")
 
+  // userinfo must be stripped before the host/port split (URI.getHost())
+  private val users = Seq("", "", "", "bob@", "user:pass@")
+
   private def gen(rng: scala.util.Random): Parts = Parts(
     protos(rng.nextInt(protos.length)),
+    users(rng.nextInt(users.length)),
     hosts(rng.nextInt(hosts.length)),
     rng.nextInt(5) match {
       case 0 => Some(80)
@@ -56,7 +61,7 @@ class UrlFuzzSpec extends AnyFunSuite {
     frags(rng.nextInt(frags.length)))
 
   private def raw(p: Parts): String =
-    p.proto + "://" + p.host + p.port.map(":" + _).getOrElse("") + p.path +
+    p.proto + "://" + p.user + p.host + p.port.map(":" + _).getOrElse("") + p.path +
       (if (p.params.nonEmpty) "?" + p.params.mkString("&") else "") + p.frag
 
   // --- plain-Scala transcription of the reference normalization ------------
