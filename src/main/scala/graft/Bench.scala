@@ -206,6 +206,47 @@ object Bench {
     nDocs / wall
   }
 
+  /** In-record machine-ceiling probes (VERDICT r4 task #5): the same two
+    * measurements scripts/bandwidth_probe.sh takes out-of-band — pure
+    * register-bound compute and 64 MB-buffer memcpy, each run on `lo` and
+    * then `hi` taskset-pinned processes — emitted INTO the bench JSON next
+    * to `scaling` so the record itself carries the VM's same-day scaling
+    * ceilings (single shared memory bus: memcpy historically ~0.65 from
+    * 2→8 busy cores, spin ~0.94; a real 4×-node cluster multiplies buses
+    * with cores). Child processes are python3 one-liners (present in this
+    * sandbox); any failure degrades to NaN → null in the JSON. */
+  private def probeEff(kind: String, lo: Int, hi: Int, durS: Int): Double = try {
+    val spin =
+      "import time,sys\n" +
+        "dur=float(sys.argv[1]);t0=time.time();c=0;x=1.0001\n" +
+        "while time.time()-t0<dur:\n" +
+        "    for _ in range(10000): x=x*1.0000001%7.7\n" +
+        "    c+=1\n" +
+        "print(c)"
+    val mem =
+      "import time,sys\n" +
+        "dur=float(sys.argv[1])\n" +
+        "a=bytearray(64*1024*1024);b=bytearray(64*1024*1024)\n" +
+        "t0=time.time();c=0\n" +
+        "while time.time()-t0<dur:\n" +
+        "    b[:]=a\n" +
+        "    c+=1\n" +
+        "print(c*64/dur)"
+    val script = if (kind == "spin") spin else mem
+    def run(n: Int): Double = {
+      val procs = (0 until n).map(c =>
+        new ProcessBuilder("taskset", "-c", c.toString, "python3", "-c",
+          script, durS.toString).start())
+      procs.map { p =>
+        val o = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        p.waitFor()
+        o.trim.toDouble
+      }.sum
+    }
+    (run(hi) / run(lo)) / (hi.toDouble / lo)
+  } catch { case _: Throwable => Double.NaN }
+
   private def percentile(sorted: Array[Double], p: Double): Double =
     if (sorted.isEmpty) 0.0
     else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
@@ -254,6 +295,25 @@ object Bench {
     // multi-minute stall spanned exactly its single sample).
     val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "20.0").toDouble
     val episodeOver = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPISODE_OVER", "60.0").toDouble
+    // Recorded suite warm-up (VERDICT r4 task #1): the iterative-graph
+    // operators pay a large first-use cost (JIT of the codegen compiler,
+    // AQE machinery, shuffle paths — measured 12.6 s cold vs 2.5 s warm for
+    // j9 in a fresh JVM) that round-4's record charged to whichever slot
+    // ran first. Running each iterative shape once on a TINY in-memory
+    // graph moves that cost into this explicit, RECORDED field
+    // (`suite_warmup_s` in the JSON) so the per-query numbers measure the
+    // plan. Tiny input: the warm-up is the machinery, not the data.
+    val suiteWarmupS = if (skipSuite) 0.0 else {
+      val t0 = System.nanoTime()
+      import sparkSuite.implicits._
+      val tiny = (0 until 2000).map(i => ((i % 50).toLong, ((i * 7 + 1) % 50).toLong))
+        .toDF("src", "dst")
+      graft.ops.RelationalOps.pageRankEdges(tiny, 3).count()
+      graft.ops.RelationalOps.seededPageRank(tiny, Seq(1L), 3).count()
+      graft.ops.RelationalOps.hitsEdges(tiny, 3).count()
+      graft.ops.AdjacencyOps.domainSimilarity(tiny, minCard = 2).count()
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = if (skipSuite) Seq.empty else
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): Double = {
@@ -280,6 +340,14 @@ object Bench {
     // efficiency is the best pair's ratio. A small untimed warm-up build
     // first keeps pair 1's low side from being JIT-flattered.
     val pairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAIRS", "3").toInt
+    // machine-ceiling probes run while no Spark session holds the cores,
+    // directly before the builds they contextualize (same-day == same-run)
+    val probeDur = sys.env.getOrElse("SPARK_GRAFT_PROBE_DUR", "8").toInt
+    val (probeSpin, probeMem) =
+      if (pairs == 0 || sys.env.contains("SPARK_GRAFT_SKIP_PROBE"))
+        (Double.NaN, Double.NaN)
+      else (probeEff("spin", lowCores, highCores, probeDur),
+        probeEff("mem", lowCores, highCores, probeDur))
     locally {
       // 131k docs: big enough that the tokenize/encode hot loops reach C2
       // before any TIMED build runs (with the old 1k-doc warm-up, pair-1 lo
@@ -490,6 +558,7 @@ object Bench {
     val latencyB = latJson(latB, p50B, p95B)
     val latencyU = latJson(latU, p50U, p95U)
     val loadJson = loadTest.map(j => s""","load_test":$j""").getOrElse("")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_2m":$scaling2m,"query_latency":$latency,"query_latency_budgeted":$latencyB,"query_latency_uncached":$latencyU$loadJson}""")
+    val probeJson = s""","machine_probe":{"spin_eff":${r4(probeSpin)},"memcpy_eff":${r4(probeMem)},"dur_s":$probeDur,"cores_low":$lowCores,"cores_high":$highCores}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","suite_warmup_s":${r1(suiteWarmupS)},"queries":$qs,"sf":"$sfDir","scaling":$scaling,"scaling_2m":$scaling2m$probeJson,"query_latency":$latency,"query_latency_budgeted":$latencyB,"query_latency_uncached":$latencyU$loadJson}""")
   }
 }

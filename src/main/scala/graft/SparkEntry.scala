@@ -410,6 +410,72 @@ object SparkEntry {
         .select("doc_id", "url", "canonical", "blocked", "mailing_list")
         .orderBy("doc_id")),
 
+    // w5: link extraction — LinkParser.parseLink over planted hrefs
+    // (root-relative, relative, absolute with case folding + param
+    // whitelist, scheme-relative, blocked prefixes, binary suffixes,
+    // fragment cuts, oversize, unquoted-attr control).
+    "w5_link_extract" -> ((s, dir) =>
+      UrlOps.extractLinks(
+        docs(s, dir).select(col("doc_id"), expr(W5BaseExpr).as("url"),
+          expr(W5TextExpr).as("text")))
+        .select("doc_id", "src_domain", "href", "url", "canonical", "domain")),
+
+    // w6: the corpus → link-graph derivation — distinct cross-domain
+    // registered-domain edges from the extracted links.
+    "w6_link_graph" -> ((s, dir) =>
+      UrlOps.linkGraph(
+        docs(s, dir).select(col("doc_id"), expr(W5BaseExpr).as("url"),
+          expr(W5TextExpr).as("text")))),
+
+    // w7: the site-info profile over a CORPUS-DERIVED link graph (w6)
+    // instead of an assumed edge table — w2 re-expressed end-to-end from
+    // documents, closing the "link graph parquet from corpus parquet" gap.
+    "w7_profile_from_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      AdjacencyOps.domainProfile(
+        d.select(expr("'src' || CAST(doc_id % 20 AS STRING) || '.com'").as("domain_id"),
+          (col("n_chars") > 800).as("indexed")),
+        UrlOps.linkGraph(
+          d.select(col("doc_id"), expr(W5BaseExpr).as("url"),
+            expr(W5TextExpr).as("text"))), 2)
+    }),
+
+    // j10b: seeded PR with an EXPLICIT node universe — ids 50-59 are
+    // linkless (the reference ranks them too, RankingAlgorithm.java:75-105)
+    // and origin 55 is a linkless origin receiving teleport mass.
+    "j10b_seeded_linkless" -> ((s, dir) =>
+      RelationalOps.seededPageRank(
+        tbl(s, dir, "events").select((col("user_id") % 50).as("src"),
+          (abs(floor(col("value") * 7).cast("long")) % 50).as("dst")),
+        Seq(1L, 55L), 3, reverse = false,
+        nodes0 = s.range(60).toDF("id"))
+        .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")),
+
+    // x1: explorer-service similar-domain browse — forward + reverse
+    // neighbors of the lexicographically first focus in the j9 table,
+    // forward-wins dedup, per-direction has_more, profile-backed indexed.
+    "x1_explore_similar" -> ((s, dir) => {
+      // localCheckpoint: the focus action + the four reads inside
+      // exploreSimilar must not re-run the whole similarity job
+      val sim = AdjacencyOps.domainSimilarity(
+        tbl(s, dir, "events").select(
+          (col("user_id") % 200).as("src"),
+          (abs(floor(col("value") * 13).cast("long")) % 200).as("dst")),
+        minCard = 5).localCheckpoint()
+      val focus = sim.agg(min("domain_id")).head().getLong(0)
+      val profile = docs(s, dir)
+        .groupBy((col("doc_id") % 200).as("domain_id"))
+        .agg(sum(when(col("n_chars") > 800, 1L).otherwise(0L)).as("pages_indexed"))
+      AdjacencyOps.exploreSimilar(sim, profile, focus)
+    }),
+
+    // x2: random-websites browse — seeded-md5 deterministic sample of the
+    // known-domain table (the reference's ORDER BY RAND() LIMIT n).
+    "x2_random_domains" -> ((s, dir) =>
+      AdjacencyOps.randomDomains(
+        docs(s, dir).groupBy((col("doc_id") % 50).as("domain_id"))
+          .agg(count(lit(1)).as("pages_known")), 10, 42L)),
+
     // w2: the site-info domain profile — page counts, link partners, and
     // the reference's rendered rank percentile, one job over the j6 graph.
     "w2_domain_profile" -> ((s, dir) =>
@@ -1012,12 +1078,87 @@ object SparkEntry {
        |    OR $farms, true)""".stripMargin
   }
 
+  /** w5 planted base URL — simple two-label hosts so the base's registered
+    * domain IS the host, 20 distinct source sites, a directory path so
+    * relative resolution has a real base directory. */
+  private val W5BaseExpr: String =
+    "'http://src' || CAST(doc_id % 20 AS STRING) || '.com/dir/page' || " +
+      "CAST(doc_id % 7 AS STRING) || '.html'"
+
+  /** w5 planted document text — identical SQL text on both engines. Every
+    * doc carries a root-relative and a relative href; arms add an absolute
+    * (case-folding + param-whitelist work), a scheme-relative, the four
+    * blocked kinds (mailto/javascript/fragment/binary suffix), a
+    * fragment-cut relative, an oversize href, and an unquoted-attr control
+    * the scan must NOT match. */
+  private val W5TextExpr: String =
+    "'<a href=\"/abs/a' || CAST(doc_id % 5 AS STRING) || '.html\">x</a> ' || " +
+      "'<a href=\"rel' || CAST(doc_id % 3 AS STRING) || '.html\">y</a> ' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '<a href=\"HTTP://Dst' || CAST(doc_id % 10 AS STRING) || '.COM/p?id=' || CAST(doc_id % 4 AS STRING) || '&utm=9\">z</a> ' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn' || CAST(doc_id % 4 AS STRING) || '.com/asset/x\">c</a> ' ELSE '' END || " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"mailto:a@b.com\">m</a><a href=\"javascript:void(0)\">j</a><a href=\"#frag\">f</a><a href=\"pic.jpg\">p</a> ' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN '<a href=\"page' || CAST(doc_id % 6 AS STRING) || '.html#sec\">s</a> ' ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN '<a href=\"http://long.com/' || repeat('x', 140) || '\">L</a> ' ELSE '' END || " +
+      "'<a href=q.html>unquoted</a>'"
+
+  /** The DuckDB transcription of [[graft.ops.UrlOps.extractLinks]]'s href
+    * scan + relevance filter + reference-order resolution, ending in a
+    * `res` CTE of (doc_id, src_domain, href, url). The blocked-prefix and
+    * binary-suffix predicates are generated from the engine's own lists.
+    * Planted hrefs carry no dot segments, so the engine's URI.normalize
+    * step is the identity here (it is spec-tested against the reference's
+    * LinkParserTest vectors instead). */
+  private def linkResolveCtes: String = {
+    val prefixes = graft.ops.UrlOps.BlockPrefixes
+      .map(p => s"starts_with(lower(href), '$p')").mkString(" OR ")
+    val suffixes = graft.ops.UrlOps.BinarySuffixes
+      .map(s => s"ends_with(lower(href), '$s')").mkString(" OR ")
+    s"""b0 AS (SELECT doc_id, $W5BaseExpr AS base_url, $W5TextExpr AS text FROM documents),
+       |b AS (SELECT doc_id, text,
+       |  lower(regexp_extract(base_url, '^([A-Za-z]+)://', 1)) AS b_proto,
+       |  lower(regexp_extract(base_url, '^[A-Za-z]+://([^/?#]*)', 1)) AS b_host,
+       |  CASE WHEN regexp_extract(base_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+       |       ELSE regexp_extract(base_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) END AS b_path FROM b0),
+       |hr AS (SELECT doc_id, b_proto, b_host, b_path,
+       |  unnest(regexp_extract_all(text, '(?i)href="([^"]*)"', 1)) AS href FROM b),
+       |rl AS (SELECT * FROM hr WHERE href <> '' AND length(href) <= 128
+       |  AND NOT ($prefixes) AND NOT ($suffixes)),
+       |cl0 AS (SELECT *, regexp_replace(href, '[ \\r\\n\\t]', '', 'g') AS ch FROM rl),
+       |cl AS (SELECT *, CASE WHEN strpos(ch, '#') > 1 THEN substr(ch, 1, strpos(ch, '#') - 1) ELSE ch END AS c0 FROM cl0),
+       |sp AS (SELECT *,
+       |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, 1, strpos(c0, '?') - 1) ELSE c0 END AS p_part,
+       |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, strpos(c0, '?')) ELSE '' END AS q_suf FROM cl),
+       |res AS (SELECT doc_id, b_host AS src_domain, href,
+       |  CASE WHEN regexp_matches(c0, '^[A-Za-z]+:') THEN c0
+       |       WHEN starts_with(c0, '//') THEN b_proto || ':' || c0
+       |       ELSE b_proto || '://' || b_host ||
+       |         (CASE WHEN starts_with(p_part, '/') THEN p_part
+       |               ELSE regexp_extract(b_path, '^(.*/)', 1) || p_part END) || q_suf
+       |  END AS url FROM sp)""".stripMargin
+  }
+
+  /** The full w5 chain: link resolution + the canonical CTEs over the
+    * resolved URLs, href/src_domain passed through to p6. */
+  private def linkCanonCtes: String =
+    urlCanonCtesFrom(
+      "SELECT doc_id, url, href, src_domain FROM res",
+      passthrough = Seq("href", "src_domain"))
+      .replace("WITH aug AS", s"WITH $linkResolveCtes,\naug AS")
+
   /** The DuckDB transcription of [[graft.ops.UrlOps.urlCanonical]] as a CTE
     * chain ending in `p6` (doc_id, url, proto, host, port, domain, path,
     * param, canonical) — shared by the w1 oracle and the d14 compose. */
   private def urlCanonCtes(plantExpr: String): String =
-    s"""WITH aug AS (SELECT doc_id, $plantExpr AS url FROM documents),
-       |p1 AS (SELECT doc_id, url,
+    urlCanonCtesFrom(s"SELECT doc_id, $plantExpr AS url FROM documents")
+
+  /** [[urlCanonCtes]] generalized: `augSql` is any select producing
+    * (doc_id, url [, passthrough…]); `passthrough` columns survive into
+    * p6 (the w5 link chain needs href/src_domain alongside the parse). */
+  private def urlCanonCtesFrom(augSql: String,
+                               passthrough: Seq[String] = Nil): String = {
+    val pt = passthrough.map(c => s", $c").mkString
+    s"""WITH aug AS ($augSql),
+       |p1 AS (SELECT doc_id, url$pt,
        |  lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS proto,
        |  regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1) AS authority,
        |  regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
@@ -1056,7 +1197,7 @@ object SparkEntry {
        |       WHEN n_labels <= 2 THEN host
        |       WHEN is_gov THEN last3
        |       ELSE last2 END AS domain FROM p4),
-       |p6 AS (SELECT doc_id, url,
+       |p6 AS MATERIALIZED (SELECT doc_id, url$pt,
        |  CASE WHEN ok THEN proto END AS proto,
        |  CASE WHEN ok THEN host END AS host,
        |  CASE WHEN ok THEN port END AS port,
@@ -1065,6 +1206,7 @@ object SparkEntry {
        |  CASE WHEN ok THEN param END AS param,
        |  CASE WHEN ok THEN proto || '://' || host || coalesce(':' || port, '') || path || coalesce('?' || param, '') END AS canonical
        |FROM (SELECT *, (proto <> '' AND host <> '') AS ok FROM p5))""".stripMargin
+  }
 
   /** t11 planted date string — identical SQL text on both engines. Mode 2's
     * second year goes invalid past 2027, collapsing to the single-year
@@ -1344,6 +1486,94 @@ object SparkEntry {
            |  $blockedSqlExpr AS blocked,
            |  coalesce(starts_with(path, '/lists/') OR contains(path, 'mailinglist'), false) AS mailing_list
            |FROM p6 ORDER BY doc_id""".stripMargin),
+
+    // w5: the href scan + reference-order resolution + canonical chain;
+    // every predicate is generated from the engine's own lists.
+    "w5_link_extract" ->
+      (linkCanonCtes +
+        """
+          |SELECT doc_id, src_domain, href, url, canonical, domain
+          |FROM p6 WHERE canonical IS NOT NULL
+          |ORDER BY doc_id, href, canonical""".stripMargin),
+
+    // w6: distinct cross-domain registered-domain edges from w5.
+    "w6_link_graph" ->
+      (linkCanonCtes +
+        """
+          |SELECT DISTINCT src_domain AS src, domain AS dst
+          |FROM p6 WHERE canonical IS NOT NULL AND src_domain <> domain
+          |ORDER BY src, dst""".stripMargin),
+
+    // w7: the w2 profile assembly over the w6-derived edge list.
+    "w7_profile_from_docs" ->
+      (linkCanonCtes + ",\n" +
+        RelationalOps.pageRankStepsOverEdges(
+          "SELECT DISTINCT src_domain AS src, domain AS dst FROM p6 " +
+            "WHERE canonical IS NOT NULL AND src_domain <> domain", 2) +
+        s""",
+           |pages AS (SELECT 'src' || CAST(doc_id % 20 AS STRING) || '.com' AS domain_id, count(*) AS pages_known,
+           |  sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END)::BIGINT AS pages_indexed
+           |  FROM documents GROUP BY 1),
+           |inc AS (SELECT dst AS domain_id, count(DISTINCT src) AS incoming_links FROM edges GROUP BY 1),
+           |outg AS (SELECT src AS domain_id, count(DISTINCT dst) AS outgoing_links FROM edges GROUP BY 1),
+           |ranked AS (SELECT id AS domain_id,
+           |  floor(round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0) AS ranking
+           |  FROM r2)
+           |SELECT domain_id,
+           |  coalesce(pages_known, 0)::BIGINT AS pages_known,
+           |  coalesce(pages_indexed, 0)::BIGINT AS pages_indexed,
+           |  coalesce(incoming_links, 0)::BIGINT AS incoming_links,
+           |  coalesce(outgoing_links, 0)::BIGINT AS outgoing_links,
+           |  ranking,
+           |  (coalesce(pages_known, 0) = 0) AS suggest_for_crawling
+           |FROM pages
+           |FULL JOIN inc USING (domain_id)
+           |FULL JOIN outg USING (domain_id)
+           |FULL JOIN ranked USING (domain_id)
+           |ORDER BY domain_id""".stripMargin),
+
+    // j10b: the seeded-PR chain with an explicit 0..59 node universe —
+    // linkless ids appear (rank 0 after the no-teleport final step) and
+    // n = 60 shifts every rank vs the edge-derived universe.
+    "j10b_seeded_linkless" ->
+      (RelationalOps.seededPrCtesOverEdges(
+        "SELECT DISTINCT user_id % 50 AS src, abs(CAST(floor(value * 7) AS BIGINT)) % 50 AS dst " +
+          "FROM events WHERE user_id % 50 <> abs(CAST(floor(value * 7) AS BIGINT)) % 50",
+        Seq(1L, 55L), 3, reverse = false,
+        nodesSelect = "SELECT unnest(generate_series(0, 59)) AS id") +
+        "\nSELECT id, round(r, 8) AS rank FROM r3 ORDER BY id"),
+
+    // x1: forward + reverse neighbors of min(domain_id), forward-wins
+    // dedup, per-direction has_more, profile-backed indexed.
+    "x1_explore_similar" ->
+      s"""WITH simq AS ($J9SimilaritySql),
+         |fc AS (SELECT min(domain_id) AS f FROM simq),
+         |foci AS (SELECT DISTINCT domain_id AS id FROM simq),
+         |nbs AS (SELECT DISTINCT neighbor_id AS id FROM simq),
+         |fwd AS (SELECT neighbor_id AS id, relatedness,
+         |        (neighbor_id IN (SELECT id FROM foci)) AS has_more
+         |        FROM simq WHERE domain_id = (SELECT f FROM fc)),
+         |rev AS (SELECT domain_id AS id, relatedness,
+         |        (domain_id IN (SELECT id FROM nbs)) AS has_more
+         |        FROM simq WHERE neighbor_id = (SELECT f FROM fc)
+         |          AND domain_id NOT IN (SELECT id FROM fwd)),
+         |m AS (SELECT * FROM fwd UNION ALL SELECT * FROM rev),
+         |prof AS (SELECT doc_id % 200 AS domain_id,
+         |         sum(CASE WHEN n_chars > 800 THEN 1 ELSE 0 END) AS pages_indexed
+         |         FROM documents GROUP BY 1)
+         |SELECT m.id AS neighbor_id, m.relatedness,
+         |  coalesce(m.has_more, false) AS has_more,
+         |  coalesce(prof.pages_indexed > 0, false) AS indexed
+         |FROM m LEFT JOIN prof ON prof.domain_id = m.id
+         |ORDER BY neighbor_id""".stripMargin,
+
+    // x2: seeded-md5 deterministic "random" sample of known domains.
+    "x2_random_domains" ->
+      """WITH d AS (SELECT doc_id % 50 AS domain_id, count(*) AS pages_known
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT domain_id, md5('42:' || CAST(domain_id AS STRING)) AS rk
+        |  FROM d WHERE pages_known > 0)
+        |SELECT domain_id, rk FROM r ORDER BY rk, domain_id LIMIT 10""".stripMargin,
 
     // w2: the j6 PR CTE chain + three aggregates + full-outer assembly;
     // ranking rendered with the reference's round(10000*(1-pct))/100.

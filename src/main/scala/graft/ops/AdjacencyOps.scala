@@ -74,10 +74,15 @@ object AdjacencyOps {
     // cache each consumer re-scans and re-shuffles the raw link table
     // (measured: 34 parquet scans, zero exchange reuse; the consumers'
     // projections differ so canonical-plan reuse never kicks in).
-    val members = l.select(col("dst").as("d"), col("src").as("s"))
+    // sized for the FAN-OUT, not the work: members/em feed 6+ small
+    // aggregate/join stages and per-stage cost at local[32] is map-task
+    // launch; the expensive pair expansion happens REDUCE-side (the s-key
+    // shuffle), so narrowing the cached inputs does not serialize it
+    val membersW = l.select(col("dst").as("d"), col("src").as("s"))
       .union(l.select(col("dst").as("d"), col("dst").as("s")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val members = RelationalOps.sizeForLoop(membersW, membersW.count())
 
     // eligible vectors and their cardinalities
     val card = members.groupBy("d").agg(count(lit(1)).as("card"))
@@ -92,8 +97,9 @@ object AdjacencyOps {
     // eligible members only (focus and candidate both need a live vector),
     // carrying the member's weight. Persisted: consumed by the norm table
     // and BOTH sides of the pair self-join.
-    val em = members.join(card.select(col("d")), "d").join(weights, "s")
+    val emW = members.join(card.select(col("d")), "d").join(weights, "s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val em = RelationalOps.sizeForLoop(emW, emW.count())
 
     val emSrc =
       if (maxSourceFanout <= 0) em
@@ -168,11 +174,74 @@ object AdjacencyOps {
     // ~|pairs| rows once and hands PR a leaf-plan input; the blocks are
     // reclaimed by the ContextCleaner once unreferenced (the r3-ADVICE
     // accumulation concern does not apply to checkpoint blocks).
-    val sim = domainSimilarity(links, minCard = minCard).localCheckpoint()
+    val simW = domainSimilarity(links, minCard = minCard).localCheckpoint()
+    // narrow the (topK-bounded) checkpointed table before the union: the
+    // PR entry shuffle's MAP side otherwise launches 2× the checkpoint's
+    // partition count in tasks for a few-kB table
+    val sim = RelationalOps.sizeForLoop(simW, simW.count())
     val bidi = sim.select(col("domain_id").as("src"), col("neighbor_id").as("dst"))
       .union(sim.select(col("neighbor_id").as("src"), col("domain_id").as("dst")))
     RelationalOps.seededPageRank(bidi, origins, iters)
   }
+
+  /** X1: explorer-service similar-domain browse — the reference's
+    * `ExplorerService.getRelatedDomains` (services-satellite/explorer-service/
+    * .../ExplorerService.java:113-215) as one projection over the
+    * [[domainSimilarity]] table:
+    *
+    *   - FORWARD neighbors (focus as DOMAIN_ID) first, then REVERSE rows
+    *     (focus as NEIGHBOR_ID) with forward-wins dedup (the `seen` set);
+    *   - `has_more` differs per direction, exactly as the two LEFT JOINs
+    *     do: a forward neighbor "has more" when it appears as a FOCUS
+    *     (NV.NEIGHBOR_ID = LV.DOMAIN_ID); a reverse row when it appears as
+    *     a NEIGHBOR anywhere (NV.DOMAIN_ID = LV.NEIGHBOR_ID);
+    *   - `indexed` = the profile's INDEXED > 0;
+    *   - ordering: SearchResult.compareTo is `(int)(o.relatedness −
+    *     relatedness)` — with EC_NEIGHBORS_VIEW's [0, 1]-valued relatedness
+    *     every pairwise difference casts to 0, so the comparator
+    *     DEGENERATES to the thenComparing(domain) name order. We sort by
+    *     neighbor id ascending (the id analog) and keep relatedness as
+    *     payload. The name-shape filter (length < 48, contains '.') has no
+    *     analog for numeric ids and is dropped; domain aliases (the
+    *     `IN (?,?)` second slot) are DB state with no corpus analog.
+    *
+    * Scale: two filters + two broadcastable set joins over a topK-bounded
+    * table — a point query served from a build-once artifact. */
+  def exploreSimilar(sim: DataFrame, profile: DataFrame, focus: Long): DataFrame = {
+    val foci = sim.select(col("domain_id").as("id")).distinct()
+    val nbrs = sim.select(col("neighbor_id").as("id")).distinct()
+    val fwd = sim.where(col("domain_id") === focus)
+      .select(col("neighbor_id").as("id"), col("relatedness"))
+      .join(foci.withColumn("hm", lit(true)), Seq("id"), "left")
+    val rev = sim.where(col("neighbor_id") === focus)
+      .select(col("domain_id").as("id"), col("relatedness"))
+      .join(fwd.select("id"), Seq("id"), "left_anti")
+      .join(nbrs.withColumn("hm", lit(true)), Seq("id"), "left")
+    fwd.union(rev)
+      .join(profile.select(col("domain_id").as("id"),
+        (col("pages_indexed") > 0).as("ix")), Seq("id"), "left")
+      .select(col("id").as("neighbor_id"), col("relatedness"),
+        coalesce(col("hm"), lit(false)).as("has_more"),
+        coalesce(col("ix"), lit(false)).as("indexed"))
+      .orderBy("neighbor_id")
+  }
+
+  /** X2: random-websites browse — the reference's `DbBrowseDomainsRandom
+    * .getRandomDomains` (features-search/random-websites/.../
+    * DbBrowseDomainsRandom.java:26-60): known domains (the STATE < 2 /
+    * no-alias filter's corpus analog is pages_known > 0), ORDER BY RAND()
+    * LIMIT n. RAND() is replaced by a SEEDED md5 over the domain id so the
+    * sample is deterministic and oracle-checkable — same trade as the t6
+    * sampler. Output carries the sort key so the selection is auditable.
+    *
+    * Scale: a TakeOrderedAndProject over a one-row-per-domain table — no
+    * global sort materializes, the heap is `count` rows per partition. */
+  def randomDomains(domains: DataFrame, count: Int, seed: Long): DataFrame =
+    domains.where(col("pages_known") > 0)
+      .withColumn("rk", md5(concat_ws(":", lit(seed), col("domain_id"))))
+      .orderBy("rk", "domain_id")
+      .limit(count)
+      .select("domain_id", "rk")
 
   /** W2: the reference's site-info domain profile
     * (`DomainInformationService.domainInfo`, search-service/.../siteinfo/

@@ -27,13 +27,30 @@ object RelationalOps {
         (abs(floor(col("value") * 7).cast("long")) % mod).as("dst")), iters)
       .select(col("id"), round(col("r"), 8).as("rank")).orderBy("id")
 
+  /** Partition sizing for ITERATIVE loops over a cached/checkpointed small
+    * table: per-stage cost at high core counts is dominated by MAP task
+    * launch, and an iterative op schedules dozens of stages — measured
+    * 3.3 s → 1.0 s warm for 3-iteration seeded PR over a 51k-row edge list
+    * at local[32] when 32 partitions coalesce to 1. ~500k rows per
+    * partition keeps genuinely big graphs as wide as the data warrants
+    * (10⁹ edges → 2000 partitions); `rows` must come from an already-run
+    * action so this adds no extra job beyond a cheap cached count. Results
+    * are unchanged up to float summation order, which every consumer
+    * rounds away (round-8 oracles). */
+  private[ops] def sizeForLoop(df: DataFrame, rows: Long): DataFrame = {
+    val want = math.max(1L, (rows + 499999L) / 500000L).toInt
+    if (want < df.rdd.getNumPartitions) df.coalesce(want) else df
+  }
+
   /** PageRank over an arbitrary (src, dst) edge list (self-loops dropped,
     * edges deduped); returns (id, r) with raw double ranks. */
   def pageRankEdges(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
-    val n = nodes.count()
+    val edgesW = edges0.where(col("src") =!= col("dst")).distinct().cache()
+    val nodesW = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id"))).distinct().cache()
+    val n = nodesW.count()
+    val edges = sizeForLoop(edgesW, edgesW.count())
+    val nodes = sizeForLoop(nodesW, n)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     var ranks = nodes.withColumn("r", expr(s"CAST(1.0 AS DOUBLE) / $n"))
     for (i <- 1 to iters) {
@@ -52,8 +69,8 @@ object RelationalOps {
     // repeated invocations in a long-lived session must not accumulate
     // storage until a global clearCache() (ADVICE r3)
     val out = ranks.localCheckpoint()
-    edges.unpersist()
-    nodes.unpersist()
+    edgesW.unpersist()
+    nodesW.unpersist()
     out
   }
 
@@ -93,18 +110,20 @@ object RelationalOps {
                        * RankingAlgorithm.java:75-105). Pass the full domain
                        * table (one id column) for reference parity. */
                      nodes0: DataFrame = null): DataFrame = {
-    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
-    val nodes = (if (nodes0 != null)
+    val edgesW = edges0.where(col("src") =!= col("dst")).distinct().cache()
+    val nodesW = (if (nodes0 != null)
       nodes0.select(col(nodes0.columns.head).as("id")).distinct()
-    else edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct()).cache()
+    else edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id"))).distinct()).cache()
     // one driver action for both scalars (n, resolvable-origin count k) —
     // it also populates the edges/nodes caches before the iteration loop
-    val nk = nodes.agg(
+    val nk = nodesW.agg(
       count(lit(1)).as("n"),
       count(when(col("id").isin(origins: _*), lit(1))).as("k")).head()
     val n = nk.getLong(0)
     val k = nk.getLong(1)
+    val edges = sizeForLoop(edgesW, edgesW.count())
+    val nodes = sizeForLoop(nodesW, n)
     // degree of the rank-GIVING side: out-degree for standard, in-degree
     // for reverse (ReversePageRank divides by |Dest2Src[j]|, :28-29)
     val deg =
@@ -146,8 +165,8 @@ object RelationalOps {
     // repeated invocations in a long-lived session must not accumulate
     // storage until a global clearCache() (ADVICE r3)
     val out = ranks.localCheckpoint()
-    edges.unpersist()
-    nodes.unpersist()
+    edgesW.unpersist()
+    nodesW.unpersist()
     out
   }
 
@@ -305,14 +324,23 @@ object RelationalOps {
     * applies it internally either way). Public so compositions that rank a
     * DERIVED graph (e.g. the similarity graph) can reuse the chain. */
   def seededPrCtesOverEdges(edgesSelect: String, origins: Seq[Long],
-                            iters: Int, reverse: Boolean): String = {
+                            iters: Int, reverse: Boolean,
+                            /** Override the node universe (the reference
+                              * ranks LINKLESS domains too — pass e.g. a
+                              * generate_series select for parity with
+                              * `seededPageRank(nodes0 = …)`). Default:
+                              * edge-endpoint derived. */
+                            nodesSelect: String = null): String = {
     val orig = origins.mkString(", ")
+    val nodesSel =
+      if (nodesSelect != null) nodesSelect
+      else "SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges"
     val degCte =
       if (reverse) "deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)"
       else "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)"
     val base =
-      s"""WITH edges AS ($edgesSelect),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
+      s"""WITH edges AS MATERIALIZED ($edgesSelect),
+         |nodes AS ($nodesSel),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |ok AS (SELECT count(*) AS k FROM nodes WHERE id IN ($orig)),
          |$degCte,
@@ -344,10 +372,18 @@ object RelationalOps {
 
   /** The [[pageRank]] oracle's CTE chain (edges/nodes/deg/r0..r`iters`)
     * without a final SELECT — shared by the j6 oracle and the w2 profile. */
-  def pageRankCtes(mod: Int, iters: Int): String = {
+  def pageRankCtes(mod: Int, iters: Int): String =
+    "WITH " + pageRankStepsOverEdges(
+      s"""SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
+         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod""".stripMargin,
+      iters)
+
+  /** [[pageRankCtes]] generalized to an arbitrary (src, dst) edge select
+    * and WITHOUT the leading `WITH`, so it can be appended to an existing
+    * CTE chain (e.g. a corpus-derived link graph — w7). */
+  def pageRankStepsOverEdges(edgesSelect: String, iters: Int): String = {
     val base =
-      s"""WITH edges AS (SELECT DISTINCT user_id % $mod AS src, abs(CAST(floor(value * 7) AS BIGINT)) % $mod AS dst
-         |  FROM events WHERE user_id % $mod <> abs(CAST(floor(value * 7) AS BIGINT)) % $mod),
+      s"""edges AS MATERIALIZED ($edgesSelect),
          |nodes AS (SELECT DISTINCT src AS id FROM edges UNION SELECT DISTINCT dst FROM edges),
          |nn AS (SELECT count(*) AS n FROM nodes),
          |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
@@ -393,9 +429,11 @@ object RelationalOps {
     * bench graph).
     */
   def hitsEdges(edges0: DataFrame, iters: Int): DataFrame = {
-    val edges = edges0.where(col("src") =!= col("dst")).distinct().cache()
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    val edgesW = edges0.where(col("src") =!= col("dst")).distinct().cache()
+    val nodesW = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id"))).distinct().cache()
+    val edges = sizeForLoop(edgesW, edgesW.count())
+    val nodes = sizeForLoop(nodesW, nodesW.count())
     def l1norm(df: DataFrame, c: String): DataFrame = {
       val m = df.localCheckpoint()
       m.crossJoin(broadcast(m.agg(sum(c).as("norm"))))
@@ -427,7 +465,7 @@ object RelationalOps {
     val out = l1norm(hub, "h").join(l1norm(auth, "a"), "id")
       .select(col("id"), round(col("h"), 6).as("hub"), round(col("a"), 6).as("auth"))
       .orderBy("id").localCheckpoint()
-    edges.unpersist(); nodes.unpersist()
+    edgesW.unpersist(); nodesW.unpersist()
     out
   }
 

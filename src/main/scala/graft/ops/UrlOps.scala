@@ -186,6 +186,179 @@ object UrlOps {
         coalesce(p.startsWith("/lists/") || p.contains("mailinglist"), lit(false)))
   }
 
+  /** The reference's binary-suffix list (LinkParser.java:26-33) — hrefs
+    * ending in these (LOWERCASED, tested on the RAW attribute value before
+    * fragment-cutting, exactly the reference's isUrlRelevant order) are not
+    * links worth indexing. The duplicate ".avi" in the source list is kept
+    * once; endsWith is idempotent. Note the reference quirk, preserved: a
+    * bare host href like "http://example.com" ends with ".com" and is
+    * DROPPED — only hrefs with a path/slash survive for .com sites. */
+  private[graft] val BinarySuffixes: Seq[String] = Seq(
+    ".pdf", ".mp3", ".wmv", ".avi", ".zip", ".7z",
+    ".mpv", ".mp4", ".mkv", ".tiff", ".dat", ".tar",
+    ".com", ".bat", ".sh",
+    ".bin", ".exe", ".tar.gz", ".tar.bz2", ".xml", ".swf",
+    ".wav", ".ogg", ".jpg", ".jpeg", ".png", ".gif", ".webp",
+    ".webm", ".bmp", ".doc", ".docx", ".ppt", ".pptx", ".xls", ".xlsx",
+    ".gz", ".asc", ".md5", ".asf", ".mov", ".sig", ".pub", ".iso")
+
+  /** Blocked href prefixes (LinkParser.java:23-24), tested lowercased. */
+  private[graft] val BlockPrefixes: Seq[String] =
+    Seq("mailto:", "javascript:", "tel:", "itpc:", "#", "file:")
+
+  /** RFC-3986-style dot-segment removal + the reference's `renormalize`
+    * (LinkParser.java:99-108): java.net.URI.normalize() collapses `.` and
+    * `..` segments (keeping a trailing slash when the last segment was a
+    * dot segment, and keeping unresolvable leading `..` on absolute
+    * paths), then renormalize strips any remaining `/../` prefix. Pure
+    * array fold over the split segments — codegen-able, no UDF. Applies to
+    * ABSOLUTE paths (every post-resolution path here starts with '/'). */
+  private def normalizeDots(p: Column): Column = {
+    val segs = split(p, "/")
+    val body = slice(segs, lit(2), greatest(size(segs) - 1, lit(0)))
+    val folded = aggregate(body, array().cast("array<string>"),
+      (acc, x) => {
+        val lastIsDots = coalesce(try_element_at(acc, lit(-1)) === "..", lit(false))
+        when(x === ".", acc)
+          .when(x === ".." && size(acc) > 0 && !lastIsDots,
+            slice(acc, lit(1), size(acc) - 1))
+          .otherwise(concat(acc, array(x)))
+      })
+    val joined = concat(lit("/"), array_join(folded, "/"))
+    val trail = p.endsWith("/.") || p.endsWith("/..")
+    val withSlash = when(trail && !joined.endsWith("/"), concat(joined, lit("/")))
+      .otherwise(joined)
+    regexp_replace(withSlash, "^(/\\.\\.)+/", "/")
+  }
+
+  /** W5: link extraction — documents → resolved outbound links, the
+    * reference's `LinkParser.parseLink` (link-parser/.../LinkParser.java:
+    * 20-173) re-expressed as column transforms over a corpus table with a
+    * base `url` and an HTML-ish `text` column:
+    *
+    *   - hrefs are pulled with a case-insensitive `href="…"` scan (the
+    *     corpus analog of jsoup's attr — single-quoted/unquoted attributes
+    *     are out of scope, documented);
+    *   - relevance runs on the RAW attribute value, the reference's order
+    *     (shouldIndexLink before getUrl): empty, >128 chars, the blocked
+    *     prefix list, and the binary-suffix list, all lowercased
+    *     (:177-198);
+    *   - `getUrl` (:110-118): the chars " \r\n\t" are removed ANYWHERE
+    *     (CharMatcher.retainFrom — which also makes the space→%20 branch
+    *     of resolveRelativeUrl unreachable, :151), and the fragment is cut
+    *     at a '#' beyond position 0;
+    *   - `resolveRelativeUrl` (:124-157): absolute when a `scheme:` prefix
+    *     exists, `proto:` + href for scheme-relative `//`, base authority
+    *     + path for root-relative, base DIRECTORY (path up to the last
+    *     '/') + path for relative; the query survives as-is — its
+    *     whitelist filtering happens once, in [[urlCanonical]], against
+    *     the RESOLVED path, which the reference's double-sanitization
+    *     (QueryParams at :137, again in the EdgeUrl ctor) makes
+    *     equivalent;
+    *   - `URI.normalize` + `renormalize` ([[UrlOps.normalizeDots]]) on the
+    *     resolved path;
+    *   - [[urlCanonical]] over the assembled URL; rows whose canonical is
+    *     null (the reference's `createURI`/EdgeUrl `Optional.empty`) are
+    *     dropped.
+    *
+    * Output: one row per surviving href — (doc_id, src_domain, href, url,
+    * proto…canonical). `src_domain` is the base URL's registered domain,
+    * so a link-graph derivation is a projection away ([[linkGraph]]).
+    *
+    * Scale: everything rides the scan — regexp_extract_all + explode is a
+    * generator (no shuffle), and every predicate/transform is a codegen'd
+    * string expression. One document with L links emits L rows; the only
+    * data motion is whatever the CONSUMER does with them. This is the
+    * operator that turns a 100 TB crawl corpus into its link graph without
+    * a DOM library in sight. */
+  def extractLinks(docs: DataFrame, urlCol: String = "url",
+                   textCol: String = "text"): DataFrame = {
+    val base = urlCanonical(docs.select(col("doc_id"), col(urlCol).as("url"),
+        col(textCol).as("text")))
+      .where(col("canonical").isNotNull)
+      .select(col("doc_id"), col("text"),
+        col("proto").as("b_proto"), col("host").as("b_host"),
+        col("port").as("b_port"), col("path").as("b_path"),
+        col("domain").as("src_domain"))
+
+    val hrefs = base.select(col("doc_id"), col("src_domain"), col("b_proto"),
+      col("b_host"), col("b_port"), col("b_path"),
+      explode(expr("regexp_extract_all(text, '(?i)href=\"([^\"]*)\"', 1)")).as("href"))
+
+    val hl = lower(col("href"))
+    val relevant = col("href") =!= "" && length(col("href")) <= 128 &&
+      !BlockPrefixes.map(p => hl.startsWith(p)).reduce(_ || _) &&
+      !BinarySuffixes.map(sfx => hl.endsWith(sfx)).reduce(_ || _)
+
+    val qPos = instr(col("c0"), "?")
+    val pathPart = when(qPos > 0, expr("substr(c0, 1, instr(c0, '?') - 1)"))
+      .otherwise(col("c0"))
+    val qSuffix = when(qPos > 0, expr("substr(c0, instr(c0, '?'))"))
+      .otherwise(lit(""))
+    val authority = concat(col("b_host"),
+      when(col("b_port").isNull, lit(""))
+        .otherwise(concat(lit(":"), col("b_port").cast("string"))))
+    val resolvedRaw =
+      when(col("c0").rlike("^[A-Za-z]+:"), col("c0"))
+        .when(col("c0").startsWith("//"), concat(col("b_proto"), lit(":"), col("c0")))
+        .otherwise(concat(col("b_proto"), lit("://"), authority,
+          when(pathPart.startsWith("/"), pathPart)
+            .otherwise(concat(regexp_extract(col("b_path"), "^(.*/)", 1), pathPart)),
+          qSuffix))
+
+    // uniform dot-normalization of the PATH across all three branches
+    // (parseLink normalizes the URI whichever way it was resolved); an
+    // empty path stays empty so the pre-canonical `url` matches the input
+    val pre = regexp_extract(col("rr"), "^([A-Za-z]+://[^/?#]*)", 1)
+    val rPath = regexp_extract(col("rr"), "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val rqPos = instr(col("rr"), "?")
+    val rq = when(rqPos > 0, expr("substr(rr, instr(rr, '?'))")).otherwise(lit(""))
+    val assembled = when(pre === "", col("rr"))
+      .otherwise(concat(pre,
+        when(rPath === "", lit("")).otherwise(normalizeDots(rPath)), rq))
+
+    val resolved = hrefs.where(relevant)
+      .withColumn("ch", regexp_replace(col("href"), "[ \\r\\n\\t]", ""))
+      .withColumn("c0", expr(
+        "CASE WHEN instr(ch, '#') > 1 THEN substr(ch, 1, instr(ch, '#') - 1) ELSE ch END"))
+      .withColumn("rr", resolvedRaw)
+      .withColumn("url", assembled)
+      .select("doc_id", "src_domain", "href", "url")
+
+    // Projection barrier (a one-element Generate): alias substitution
+    // (ScanOperation.trimAliases and friends) inlines withColumn chains,
+    // and [[urlCanonical]] references its input ~20×, each copy carrying
+    // the whole resolve tree (itself fanning out over c0/ch) — measured
+    // ~30 s of pure optimizer time PER QUERY on a one-row input without
+    // the barrier. Catalyst does not substitute aliases across Generate,
+    // so the resolve tree is computed once and the canonical tree reads a
+    // plain column. Row-local, codegen'd, zero data motion.
+    val barrier = resolved
+      .select(col("doc_id"), col("src_domain"), col("href"),
+        explode(array(col("url"))).as("url"))
+
+    urlCanonical(barrier)
+      .where(col("canonical").isNotNull)
+      .orderBy("doc_id", "href", "canonical")
+  }
+
+  /** W6: link-graph derivation — [[extractLinks]] projected to DISTINCT
+    * cross-domain (src, dst) registered-domain edges, the corpus-to-graph
+    * step every ranking op (j6–j13, w2, w3) consumes. Same-domain links
+    * are internal navigation, not domain edges — the reference's loader
+    * likewise only records cross-domain EC_DOMAIN_LINK rows.
+    *
+    * Scale: extraction rides the scan; the only shuffle is the DISTINCT
+    * hash-aggregate on (src, dst), whose output is the (much smaller)
+    * domain graph. */
+  def linkGraph(docs: DataFrame, urlCol: String = "url",
+                textCol: String = "text"): DataFrame =
+    extractLinks(docs, urlCol, textCol)
+      .select(col("src_domain").as("src"), col("domain").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .orderBy("src", "dst")
+
   /** W3: crawl-frontier assembly — the crawl-queue feeding workflow the
     * reference runs across CRAWL_QUEUE + `suggestForCrawling`
     * (DomainInformationService.java:80-82) and EdgeUrl canonical identity,

@@ -134,6 +134,38 @@ class AdjacencySpec extends AnyFunSuite {
       (10L, 11L), (11L, 10L), (2L, 10L), (10L, 2L), (2L, 11L), (11L, 2L)))
   }
 
+  test("exploreSimilar: fwd-wins dedup, per-direction has_more, indexed join") {
+    import spark.implicits._
+    val sim = Seq((1L, 2L, 0.5), (1L, 3L, 0.4), (4L, 1L, 0.3), (3L, 1L, 0.2))
+      .toDF("domain_id", "neighbor_id", "relatedness")
+    val prof = Seq((2L, 5L), (3L, 0L)).toDF("domain_id", "pages_indexed")
+    val got = graft.ops.AdjacencyOps.exploreSimilar(sim, prof, 1L).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2), r.getBoolean(3))).toSeq
+    // fwd: 2 (.5), 3 (.4); rev: 4 (.3) and 3 (.2, dropped — seen via fwd).
+    // has_more: fwd tests focus-membership (3 is a focus), rev tests
+    // neighbor-membership (4 is never a neighbor). indexed from profile.
+    assert(got === Seq(
+      (2L, 0.5, false, true), (3L, 0.4, true, false), (4L, 0.3, false, false)))
+  }
+
+  test("randomDomains: seeded md5 sample, known domains only, stable") {
+    import spark.implicits._
+    val d = Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 2L), (5L, 9L))
+      .toDF("domain_id", "pages_known")
+    val got = graft.ops.AdjacencyOps.randomDomains(d, 3, 7L).collect()
+      .map(_.getLong(0)).toSeq
+    def m(id: Long): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$id".getBytes("UTF-8"))
+      dig.map("%02x".format(_)).mkString
+    }
+    val expect = Seq(1L, 2L, 4L, 5L).sortBy(id => (m(id), id)).take(3)
+    assert(got === expect)
+    // domain 3 (pages_known = 0) can never be sampled
+    assert(!graft.ops.AdjacencyOps.randomDomains(d, 4, 7L).collect()
+      .map(_.getLong(0)).contains(3L))
+  }
+
   test("domainProfile: counts, link partners, rendered rank, crawl suggestion") {
     import spark.implicits._
     // pages: domain 1 has 3 pages (2 indexed), domain 2 has 1, domain 9
