@@ -206,6 +206,21 @@ object UrlOps {
   private[graft] val BlockPrefixes: Seq[String] =
     Seq("mailto:", "javascript:", "tel:", "itpc:", "#", "file:")
 
+  /** One-element-Generate projection barrier. Catalyst's alias
+    * substitution (CollapseProject / ScanOperation.trimAliases) inlines
+    * withColumn chains, so an expression tree referenced N times
+    * downstream is COPIED N times — compounding per layer. Two observed
+    * failure modes without a barrier: optimizer time exploding (~30 s per
+    * query in [[extractLinks]]) and whole-stage codegen methods crossing
+    * the JVM's 64 KB limit and falling back to interpreted execution
+    * ([[crawlFrontier]]'s canonical+blocklist span). Catalyst does not
+    * substitute aliases across Generate, so the producer tree is computed
+    * once per row and consumers read plain columns. Row-local, codegen'd,
+    * zero data motion. */
+  private def projectionBarrier(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(explode(array(struct(keep.map(col): _*))).as("_b"))
+      .select(keep.map(c => col(s"_b.$c").as(c)): _*)
+
   /** RFC-3986-style dot-segment removal + the reference's `renormalize`
     * (LinkParser.java:99-108): java.net.URI.normalize() collapses `.` and
     * `..` segments (keeping a trailing slash when the last segment was a
@@ -325,17 +340,11 @@ object UrlOps {
       .withColumn("url", assembled)
       .select("doc_id", "src_domain", "href", "url")
 
-    // Projection barrier (a one-element Generate): alias substitution
-    // (ScanOperation.trimAliases and friends) inlines withColumn chains,
-    // and [[urlCanonical]] references its input ~20×, each copy carrying
-    // the whole resolve tree (itself fanning out over c0/ch) — measured
-    // ~30 s of pure optimizer time PER QUERY on a one-row input without
-    // the barrier. Catalyst does not substitute aliases across Generate,
-    // so the resolve tree is computed once and the canonical tree reads a
-    // plain column. Row-local, codegen'd, zero data motion.
-    val barrier = resolved
-      .select(col("doc_id"), col("src_domain"), col("href"),
-        explode(array(col("url"))).as("url"))
+    // barrier: [[urlCanonical]] references its input ~20×, each copy
+    // carrying the whole resolve tree (itself fanning out over c0/ch) —
+    // measured ~30 s of pure optimizer time PER QUERY without it
+    val barrier = projectionBarrier(resolved,
+      Seq("doc_id", "src_domain", "href", "url"))
 
     urlCanonical(barrier)
       .where(col("canonical").isNotNull)
@@ -383,7 +392,14 @@ object UrlOps {
     * (priority, canonical), a TakeOrderedAndProject under any `limit`. */
   def crawlFrontier(candidates: DataFrame, docsByDomain: DataFrame,
                     links: DataFrame, iters: Int): DataFrame = {
-    val canon = urlBlocklist(urlCanonical(candidates.select("doc_id", "url")))
+    // barrier between parse and blocklist: the blocklist predicates
+    // reference path/domain ~15×, which would otherwise inline the full
+    // parse tree per reference and push the codegen'd method past 64 KB
+    // (observed: whole-stage fallback to interpreted execution)
+    val parsed = projectionBarrier(
+      urlCanonical(candidates.select("doc_id", "url")),
+      Seq("doc_id", "domain", "path", "canonical"))
+    val canon = urlBlocklist(parsed)
       .where(!col("blocked"))
       .select("doc_id", "canonical")
     val reps = canon.groupBy("canonical").agg(min("doc_id").as("keep_id"))
