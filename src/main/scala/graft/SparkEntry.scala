@@ -1092,7 +1092,9 @@ object SparkEntry {
     * fragment-cut relative, an oversize href, and an unquoted-attr control
     * the scan must NOT match. */
   private val W5TextExpr: String =
-    "'<a href=\"/abs/a' || CAST(doc_id % 5 AS STRING) || '.html\">x</a> ' || " +
+    "CASE WHEN doc_id % 13 = 0 THEN '<base href=\"/bdir/sub/\">' " +
+      "WHEN doc_id % 17 = 0 THEN '<base href=\"http://based' || CAST(doc_id % 3 AS STRING) || '.com/bb/\">' ELSE '' END || " +
+      "'<a href=\"/abs/a' || CAST(doc_id % 5 AS STRING) || '.html\">x</a> ' || " +
       "'<a href=\"rel' || CAST(doc_id % 3 AS STRING) || '.html\">y</a> ' || " +
       "CASE WHEN doc_id % 2 = 0 THEN '<a href=\"HTTP://Dst' || CAST(doc_id % 10 AS STRING) || '.COM/p?id=' || CAST(doc_id % 4 AS STRING) || '&utm=9\">z</a> ' ELSE '' END || " +
       "CASE WHEN doc_id % 3 = 0 THEN '<a href=\"//cdn' || CAST(doc_id % 4 AS STRING) || '.com/asset/x\">c</a> ' ELSE '' END || " +
@@ -1119,8 +1121,22 @@ object SparkEntry {
        |  lower(regexp_extract(base_url, '^[A-Za-z]+://([^/?#]*)', 1)) AS b_host,
        |  CASE WHEN regexp_extract(base_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
        |       ELSE regexp_extract(base_url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) END AS b_path FROM b0),
-       |hr AS (SELECT doc_id, b_proto, b_host, b_path,
-       |  unnest(regexp_extract_all(text, '(?i)href="([^"]*)"', 1)) AS href FROM b),
+       |bb AS (SELECT *, regexp_extract(text, '(?i)<base[^>]*href="([^"]*)"', 1) AS bh FROM b),
+       |bb2 AS (SELECT *, CASE WHEN bh = '' THEN ''
+       |  WHEN regexp_matches(bh, '^[A-Za-z]+:') THEN bh
+       |  WHEN starts_with(bh, '//') THEN b_proto || ':' || bh
+       |  WHEN starts_with(bh, '/') THEN b_proto || '://' || b_host || bh
+       |  ELSE b_proto || '://' || b_host || regexp_extract(b_path, '^(.*/)', 1) || bh END AS rb FROM bb),
+       |bb3 AS (SELECT *, lower(regexp_extract(rb, '^([A-Za-z]+)://', 1)) AS e_proto,
+       |  lower(split_part(regexp_extract(regexp_extract(rb, '^[A-Za-z]+://([^/?#]*)', 1), '([^@]*)$$', 1), ':', 1)) AS e_host,
+       |  CASE WHEN regexp_extract(rb, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) = '' THEN '/'
+       |       ELSE regexp_extract(rb, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) END AS e_path FROM bb2),
+       |be AS (SELECT doc_id, text, b_host AS src_dom,
+       |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_proto ELSE b_proto END AS f_proto,
+       |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_host ELSE b_host END AS f_host,
+       |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_path ELSE b_path END AS f_path FROM bb3),
+       |hr AS (SELECT doc_id, src_dom, f_proto AS b_proto, f_host AS b_host, f_path AS b_path,
+       |  unnest(regexp_extract_all(text, '(?i)<a[^>]*href="([^"]*)"', 1)) AS href FROM be),
        |rl AS (SELECT * FROM hr WHERE href <> '' AND length(href) <= 128
        |  AND NOT ($prefixes) AND NOT ($suffixes)),
        |cl0 AS (SELECT *, regexp_replace(href, '[ \\r\\n\\t]', '', 'g') AS ch FROM rl),
@@ -1128,7 +1144,7 @@ object SparkEntry {
        |sp AS (SELECT *,
        |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, 1, strpos(c0, '?') - 1) ELSE c0 END AS p_part,
        |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, strpos(c0, '?')) ELSE '' END AS q_suf FROM cl),
-       |res AS (SELECT doc_id, b_host AS src_domain, href,
+       |res AS (SELECT doc_id, src_dom AS src_domain, href,
        |  CASE WHEN regexp_matches(c0, '^[A-Za-z]+:') THEN c0
        |       WHEN starts_with(c0, '//') THEN b_proto || ':' || c0
        |       ELSE b_proto || '://' || b_host ||

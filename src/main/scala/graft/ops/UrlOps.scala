@@ -254,6 +254,11 @@ object UrlOps {
     *   - hrefs are pulled with a case-insensitive `href="…"` scan (the
     *     corpus analog of jsoup's attr — single-quoted/unquoted attributes
     *     are out of scope, documented);
+    *   - a `<base href>` tag overrides the resolution base
+    *     (`getBaseLink`:216-233): first tag wins, resolved against the
+    *     document url, unresolvable → document url (the reference's only
+    *     divergence here: a FIRST base tag with an EMPTY href falls back
+    *     to the document url rather than consulting later base tags);
     *   - relevance runs on the RAW attribute value, the reference's order
     *     (shouldIndexLink before getUrl): empty, >128 chars, the blocked
     *     prefix list, and the binary-suffix list, all lowercased
@@ -288,17 +293,51 @@ object UrlOps {
     * a DOM library in sight. */
   def extractLinks(docs: DataFrame, urlCol: String = "url",
                    textCol: String = "text"): DataFrame = {
-    val base = urlCanonical(docs.select(col("doc_id"), col(urlCol).as("url"),
+    val base0 = urlCanonical(docs.select(col("doc_id"), col(urlCol).as("url"),
         col(textCol).as("text")))
       .where(col("canonical").isNotNull)
       .select(col("doc_id"), col("text"),
-        col("proto").as("b_proto"), col("host").as("b_host"),
-        col("port").as("b_port"), col("path").as("b_path"),
+        col("proto").as("d_proto"), col("host").as("d_host"),
+        col("port").as("d_port"), col("path").as("d_path"),
         col("domain").as("src_domain"))
+
+    // `<base href>` override (LinkParser.getBaseLink:216-233 + its
+    // getBaseUrlTest vectors): the FIRST base tag with a non-empty href is
+    // resolved against the DOCUMENT url (absolute / scheme-relative /
+    // root-relative / directory-relative, same rules as links) and
+    // replaces the resolution base; an unresolvable result (e.g.
+    // href="http://" — no host) falls back to the document url, the
+    // reference's catch arm. `src_domain` stays the DOCUMENT's domain —
+    // the base tag changes where links POINT, not where they live.
+    val bh = regexp_extract(col("text"), "(?i)<base[^>]*href=\"([^\"]*)\"", 1)
+    val dAuth = concat(col("d_host"),
+      when(col("d_port").isNull, lit(""))
+        .otherwise(concat(lit(":"), col("d_port").cast("string"))))
+    val dDir = regexp_extract(col("d_path"), "^(.*/)", 1)
+    val rb = when(bh === "", lit(""))
+      .when(bh.rlike("^[A-Za-z]+:"), bh)
+      .when(bh.startsWith("//"), concat(col("d_proto"), lit(":"), bh))
+      .when(bh.startsWith("/"), concat(col("d_proto"), lit("://"), dAuth, bh))
+      .otherwise(concat(col("d_proto"), lit("://"), dAuth, dDir, bh))
+    val eProto = lower(regexp_extract(col("rb"), "^([A-Za-z]+)://", 1))
+    val eAuthority = regexp_extract(col("rb"), "^[A-Za-z]+://([^/?#]*)", 1)
+    val eHostport = substring_index(eAuthority, "@", -1)
+    val eHost = lower(substring_index(eHostport, ":", 1))
+    val ePort = regexp_extract(eHostport, "^[^:]*:([0-9]+)$", 1).try_cast("long")
+    val ePath0 = regexp_extract(col("rb"), "^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    val ePath = when(ePath0 === "", lit("/")).otherwise(ePath0)
+    val baseOk = col("rb") =!= "" && eProto =!= "" && eHost =!= ""
+    val base = projectionBarrier(
+      base0.withColumn("rb", rb)
+        .withColumn("b_proto", when(baseOk, eProto).otherwise(col("d_proto")))
+        .withColumn("b_host", when(baseOk, eHost).otherwise(col("d_host")))
+        .withColumn("b_port", when(baseOk, ePort).otherwise(col("d_port")))
+        .withColumn("b_path", when(baseOk, ePath).otherwise(col("d_path"))),
+      Seq("doc_id", "text", "src_domain", "b_proto", "b_host", "b_port", "b_path"))
 
     val hrefs = base.select(col("doc_id"), col("src_domain"), col("b_proto"),
       col("b_host"), col("b_port"), col("b_path"),
-      explode(expr("regexp_extract_all(text, '(?i)href=\"([^\"]*)\"', 1)")).as("href"))
+      explode(expr("regexp_extract_all(text, '(?i)<a[^>]*href=\"([^\"]*)\"', 1)")).as("href"))
 
     val hl = lower(col("href"))
     val relevant = col("href") =!= "" && length(col("href")) <= 128 &&

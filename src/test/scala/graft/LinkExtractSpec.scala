@@ -75,6 +75,37 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(parseLink("/a/.", "/") === Some("http://www.marginalia.nu/a/"))
   }
 
+  test("base-tag override: getBaseUrlTest + testParseBadBaseLink vectors") {
+    import spark.implicits._
+    def withBase(baseTag: String, docUrl: String, href: String): Option[String] = {
+      val df = Seq((0L, docUrl, s"""$baseTag<a href="$href">t</a>"""))
+        .toDF("doc_id", "url", "text")
+      UrlOps.extractLinks(df).collect().map(_.getAs[String]("canonical")).headOption
+    }
+    // getBaseUrlTest: root-relative, absolute, and relative base hrefs
+    assert(withBase("""<base href="/base">""",
+      "https://www.marginalia.nu/test/foo.bar", "x")
+      === Some("https://www.marginalia.nu/x"))
+    assert(withBase("""<base href="https://memex.marginalia.nu/base">""",
+      "https://www.marginalia.nu/test/foo.bar", "x")
+      === Some("https://memex.marginalia.nu/x"))
+    assert(withBase("""<base href="base">""",
+      "https://www.marginalia.nu/test/foo.bar", "x")
+      === Some("https://www.marginalia.nu/test/x"))
+    // testParseBadBaseLink: no href, empty href, unresolvable href → doc url
+    for (tag <- Seq("""<base target="foo"/>""", """<base href=""/>""",
+      """<base href="http://"/>""", ""))
+      assert(withBase(tag, "https://memex.marginalia.nu/a/b.html", "x")
+        === Some("https://memex.marginalia.nu/a/x"), tag)
+    // base changes where links POINT, not where they live: src stays doc
+    val g = UrlOps.linkGraph(Seq(
+      (0L, "http://alpha.com/d/p.html",
+        """<base href="http://beta.com/bb/"><a href="rel.html">r</a>"""))
+      .toDF("doc_id", "url", "text")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(g === Seq(("alpha.com", "beta.com")))
+  }
+
   test("linkGraph: distinct cross-domain registered-domain edges only") {
     import spark.implicits._
     val docs = Seq(
