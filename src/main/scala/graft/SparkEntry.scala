@@ -418,7 +418,7 @@ object SparkEntry {
       UrlOps.extractLinks(
         docs(s, dir).select(col("doc_id"), expr(W5BaseExpr).as("url"),
           expr(W5TextExpr).as("text")))
-        .select("doc_id", "src_domain", "href", "url", "canonical", "domain")),
+        .select("doc_id", "src_domain", "kind", "href", "url", "canonical", "domain")),
 
     // w6: the corpus → link-graph derivation — distinct cross-domain
     // registered-domain edges from the extracted links.
@@ -1101,6 +1101,7 @@ object SparkEntry {
       "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"mailto:a@b.com\">m</a><a href=\"javascript:void(0)\">j</a><a href=\"#frag\">f</a><a href=\"pic.jpg\">p</a> ' ELSE '' END || " +
       "CASE WHEN doc_id % 7 = 0 THEN '<a href=\"page' || CAST(doc_id % 6 AS STRING) || '.html#sec\">s</a> ' ELSE '' END || " +
       "CASE WHEN doc_id % 11 = 0 THEN '<a href=\"http://long.com/' || repeat('x', 140) || '\">L</a> ' ELSE '' END || " +
+      "CASE WHEN doc_id % 19 = 0 THEN '<iframe src=\"http://fr' || CAST(doc_id % 4 AS STRING) || '.com/f.pdf\"></iframe><frame src=\"f2.html\"> ' ELSE '' END || " +
       "'<a href=q.html>unquoted</a>'"
 
   /** The DuckDB transcription of [[graft.ops.UrlOps.extractLinks]]'s href
@@ -1135,16 +1136,19 @@ object SparkEntry {
        |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_proto ELSE b_proto END AS f_proto,
        |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_host ELSE b_host END AS f_host,
        |  CASE WHEN rb <> '' AND e_proto <> '' AND e_host <> '' THEN e_path ELSE b_path END AS f_path FROM bb3),
-       |hr AS (SELECT doc_id, src_dom, f_proto AS b_proto, f_host AS b_host, f_path AS b_path,
+       |hr AS (SELECT doc_id, src_dom, f_proto AS b_proto, f_host AS b_host, f_path AS b_path, 'a' AS kind,
        |  unnest(regexp_extract_all(text, '(?i)<a[^>]*href="([^"]*)"', 1)) AS href FROM be),
+       |fr AS (SELECT doc_id, src_dom, f_proto AS b_proto, f_host AS b_host, f_path AS b_path, 'frame' AS kind,
+       |  unnest(regexp_extract_all(text, '(?i)<i?frame[^>]*src="([^"]*)"', 1)) AS href FROM be),
        |rl AS (SELECT * FROM hr WHERE href <> '' AND length(href) <= 128
-       |  AND NOT ($prefixes) AND NOT ($suffixes)),
-       |cl0 AS (SELECT *, regexp_replace(href, '[ \\r\\n\\t]', '', 'g') AS ch FROM rl),
-       |cl AS (SELECT *, CASE WHEN strpos(ch, '#') > 1 THEN substr(ch, 1, strpos(ch, '#') - 1) ELSE ch END AS c0 FROM cl0),
+       |  AND NOT ($prefixes) AND NOT ($suffixes)
+       |  UNION ALL SELECT * FROM fr),
+       |cl0 AS (SELECT *, CASE WHEN kind = 'a' THEN regexp_replace(href, '[ \\r\\n\\t]', '', 'g') ELSE href END AS ch FROM rl),
+       |cl AS (SELECT *, CASE WHEN kind = 'a' AND strpos(ch, '#') > 1 THEN substr(ch, 1, strpos(ch, '#') - 1) ELSE ch END AS c0 FROM cl0),
        |sp AS (SELECT *,
        |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, 1, strpos(c0, '?') - 1) ELSE c0 END AS p_part,
        |  CASE WHEN strpos(c0, '?') > 0 THEN substr(c0, strpos(c0, '?')) ELSE '' END AS q_suf FROM cl),
-       |res AS (SELECT doc_id, src_dom AS src_domain, href,
+       |res AS (SELECT doc_id, src_dom AS src_domain, kind, href,
        |  CASE WHEN regexp_matches(c0, '^[A-Za-z]+:') THEN c0
        |       WHEN starts_with(c0, '//') THEN b_proto || ':' || c0
        |       ELSE b_proto || '://' || b_host ||
@@ -1157,8 +1161,8 @@ object SparkEntry {
     * resolved URLs, href/src_domain passed through to p6. */
   private def linkCanonCtes: String =
     urlCanonCtesFrom(
-      "SELECT doc_id, url, href, src_domain FROM res",
-      passthrough = Seq("href", "src_domain"))
+      "SELECT doc_id, url, href, src_domain, kind FROM res",
+      passthrough = Seq("href", "src_domain", "kind"))
       .replace("WITH aug AS", s"WITH $linkResolveCtes,\naug AS")
 
   /** The DuckDB transcription of [[graft.ops.UrlOps.urlCanonical]] as a CTE
@@ -1508,7 +1512,7 @@ object SparkEntry {
     "w5_link_extract" ->
       (linkCanonCtes +
         """
-          |SELECT doc_id, src_domain, href, url, canonical, domain
+          |SELECT doc_id, src_domain, kind, href, url, canonical, domain
           |FROM p6 WHERE canonical IS NOT NULL
           |ORDER BY doc_id, href, canonical""".stripMargin),
 

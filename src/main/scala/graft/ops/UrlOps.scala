@@ -281,9 +281,10 @@ object UrlOps {
     *     null (the reference's `createURI`/EdgeUrl `Optional.empty`) are
     *     dropped.
     *
-    * Output: one row per surviving href — (doc_id, src_domain, href, url,
-    * proto…canonical). `src_domain` is the base URL's registered domain,
-    * so a link-graph derivation is a projection away ([[linkGraph]]).
+    * Output: one row per surviving href/src — (doc_id, src_domain, kind
+    * ('a' | 'frame'), href, url, proto…canonical). `src_domain` is the
+    * document URL's registered domain, so a link-graph derivation is a
+    * projection away ([[linkGraph]]).
     *
     * Scale: everything rides the scan — regexp_extract_all + explode is a
     * generator (no shuffle), and every predicate/transform is a codegen'd
@@ -339,6 +340,15 @@ object UrlOps {
       col("b_host"), col("b_port"), col("b_path"),
       explode(expr("regexp_extract_all(text, '(?i)<a[^>]*href=\"([^\"]*)\"', 1)")).as("href"))
 
+    // frame/iframe src links (parseFrame:91-100): resolved through the SAME
+    // chain but with NO relevance filter, NO space-stripping, NO fragment
+    // cut — the reference feeds the raw src attribute straight into
+    // resolveRelativeUrl (so a frame src with a binary suffix IS a link,
+    // unlike an identical anchor href; quirk preserved)
+    val frames = base.select(col("doc_id"), col("src_domain"), col("b_proto"),
+      col("b_host"), col("b_port"), col("b_path"),
+      explode(expr("regexp_extract_all(text, '(?i)<i?frame[^>]*src=\"([^\"]*)\"', 1)")).as("href"))
+
     val hl = lower(col("href"))
     val relevant = col("href") =!= "" && length(col("href")) <= 128 &&
       !BlockPrefixes.map(p => hl.startsWith(p)).reduce(_ || _) &&
@@ -371,19 +381,25 @@ object UrlOps {
       .otherwise(concat(pre,
         when(rPath === "", lit("")).otherwise(normalizeDots(rPath)), rq))
 
-    val resolved = hrefs.where(relevant)
+    val aRows = hrefs.where(relevant)
+      .withColumn("kind", lit("a"))
       .withColumn("ch", regexp_replace(col("href"), "[ \\r\\n\\t]", ""))
       .withColumn("c0", expr(
         "CASE WHEN instr(ch, '#') > 1 THEN substr(ch, 1, instr(ch, '#') - 1) ELSE ch END"))
+    val fRows = frames
+      .withColumn("kind", lit("frame"))
+      .withColumn("ch", col("href"))
+      .withColumn("c0", col("href"))
+    val resolved = aRows.union(fRows)
       .withColumn("rr", resolvedRaw)
       .withColumn("url", assembled)
-      .select("doc_id", "src_domain", "href", "url")
+      .select("doc_id", "src_domain", "kind", "href", "url")
 
     // barrier: [[urlCanonical]] references its input ~20×, each copy
     // carrying the whole resolve tree (itself fanning out over c0/ch) —
     // measured ~30 s of pure optimizer time PER QUERY without it
     val barrier = projectionBarrier(resolved,
-      Seq("doc_id", "src_domain", "href", "url"))
+      Seq("doc_id", "src_domain", "kind", "href", "url"))
 
     urlCanonical(barrier)
       .where(col("canonical").isNotNull)

@@ -106,6 +106,21 @@ class LinkExtractSpec extends AnyFunSuite {
     assert(g === Seq(("alpha.com", "beta.com")))
   }
 
+  test("frame/iframe src: resolved but NOT relevance-filtered (parseFrame)") {
+    import spark.implicits._
+    val df = Seq((0L, "http://alpha.com/d/p.html",
+      """<iframe src="http://beta.com/doc.pdf"></iframe><frame src="f2.html">
+        |<a href="doc.pdf">binary anchor dropped</a>""".stripMargin))
+      .toDF("doc_id", "url", "text")
+    val got = UrlOps.extractLinks(df).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[String]("canonical"))).toSet
+    // the SAME .pdf that is dropped as an anchor href survives as a frame
+    // src (the reference's parseFrame skips shouldIndexLink)
+    assert(got === Set(
+      ("frame", "http://beta.com/doc.pdf"),
+      ("frame", "http://alpha.com/d/f2.html")))
+  }
+
   test("linkGraph: distinct cross-domain registered-domain edges only") {
     import spark.implicits._
     val docs = Seq(
