@@ -440,6 +440,23 @@ object SparkEntry {
             expr(W5TextExpr).as("text"))), 2)
     }),
 
+    // w8: the composed crawl frontier over CORPUS-DERIVED edges — w3
+    // re-expressed end-to-end from documents: candidates canonicalize +
+    // blocklist + dedup as in w3, but the priority profile comes from the
+    // w6 link graph instead of an assumed edge table; candidate domains
+    // src20-24.com have no pages or links and flag new_domain.
+    "w8_frontier_from_docs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      UrlOps.crawlFrontier(
+        d.select(col("doc_id"), expr(W3PlantExpr).as("url"),
+          expr("'src' || CAST(doc_id % 25 AS STRING) || '.com'").as("domain_id")),
+        d.select(expr("'src' || CAST(doc_id % 20 AS STRING) || '.com'").as("domain_id"),
+          (col("n_chars") > 800).as("indexed")),
+        UrlOps.linkGraph(
+          d.select(col("doc_id"), expr(W5BaseExpr).as("url"),
+            expr(W5TextExpr).as("text"))), 2)
+    }),
+
     // j10b: seeded PR with an EXPLICIT node universe — ids 50-59 are
     // linkless (the reference ranks them too, RankingAlgorithm.java:75-105)
     // and origin 55 is a linkless origin receiving teleport mass.
@@ -1171,6 +1188,15 @@ object SparkEntry {
   private def urlCanonCtes(plantExpr: String): String =
     urlCanonCtesFrom(s"SELECT doc_id, $plantExpr AS url FROM documents")
 
+  /** [[urlCanonCtesFrom]] with every CTE name prefixed, so TWO canonical
+    * chains can coexist in one WITH (w8 parses candidate URLs alongside
+    * the w5 link chain). The rename is a word-boundary substitution; none
+    * of the chain's SQL literals or column names collide with the p-names. */
+  private def urlCanonCtesRenamed(augSql: String, passthrough: Seq[String],
+                                  prefix: String): String =
+    urlCanonCtesFrom(augSql, passthrough)
+      .replaceAll("\\b(p2a|aug|p1|p2|p3|p4|p5|p6)\\b", prefix + "$1")
+
   /** [[urlCanonCtes]] generalized: `augSql` is any select producing
     * (doc_id, url [, passthrough…]); `passthrough` columns survive into
     * p6 (the w5 link chain needs href/src_domain alongside the parse). */
@@ -1551,6 +1577,35 @@ object SparkEntry {
            |FULL JOIN outg USING (domain_id)
            |FULL JOIN ranked USING (domain_id)
            |ORDER BY domain_id""".stripMargin),
+
+    // w8: the link chain (aug…p6) + a PREFIXED candidate canonical chain
+    // (c_aug…c_p6) + derived-edge PR + the w3 keep/pages/ranked assembly.
+    "w8_frontier_from_docs" ->
+      (linkCanonCtes + ",\n" +
+        urlCanonCtesRenamed(
+          s"SELECT doc_id, $W3PlantExpr AS url FROM documents", Nil, "c_")
+          .stripPrefix("WITH ") + ",\n" +
+        RelationalOps.pageRankStepsOverEdges(
+          "SELECT DISTINCT src_domain AS src, domain AS dst FROM p6 " +
+            "WHERE canonical IS NOT NULL AND src_domain <> domain", 2) +
+        s""",
+           |pages AS (SELECT 'src' || CAST(doc_id % 20 AS STRING) || '.com' AS domain_id, count(*) AS pages_known
+           |  FROM documents GROUP BY 1),
+           |ranked AS (SELECT id AS domain_id,
+           |  floor(round((1.0 - percent_rank() OVER (ORDER BY round(r, 8) DESC, id)) * 10000) / 100.0) AS ranking
+           |  FROM r2),
+           |keep AS (SELECT canonical, min(doc_id) AS keep_id FROM c_p6
+           |  WHERE NOT $blockedSqlExpr GROUP BY canonical)
+           |SELECT k.keep_id AS doc_id, k.canonical,
+           |  'src' || CAST(k.keep_id % 25 AS STRING) || '.com' AS domain_id,
+           |  coalesce(pages_known, 0)::BIGINT AS pages_known,
+           |  ranking,
+           |  (coalesce(pages_known, 0) = 0) AS new_domain,
+           |  coalesce(ranking, -1.0) AS priority
+           |FROM keep k
+           |LEFT JOIN pages ON pages.domain_id = 'src' || CAST(k.keep_id % 25 AS STRING) || '.com'
+           |LEFT JOIN ranked ON ranked.domain_id = 'src' || CAST(k.keep_id % 25 AS STRING) || '.com'
+           |ORDER BY priority DESC, k.canonical""".stripMargin),
 
     // j10b: the seeded-PR chain with an explicit 0..59 node universe —
     // linkless ids appear (rank 0 after the no-teleport final step) and
