@@ -293,7 +293,11 @@ object Bench {
     // so a first sample there IS an episode hit and gets the second run it
     // would otherwise be denied (observed: j12 2 s recorded as 244 s when a
     // multi-minute stall spanned exactly its single sample).
-    val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "20.0").toDouble
+    // 30 s (round 5, was 20): w8's cold first sample measured 25.0 s vs
+    // 9.2 s warm — a first sample in the 20-30 s band is still cold-session
+    // cost on this suite (no slot's real warm work exceeds ~10 s), so it
+    // must earn its second run too
+    val resampleUnder = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESAMPLE_UNDER", "30.0").toDouble
     val episodeOver = sys.env.getOrElse("SPARK_GRAFT_BENCH_EPISODE_OVER", "60.0").toDouble
     // Recorded suite warm-up (VERDICT r4 task #1): the iterative-graph
     // operators pay a large first-use cost (JIT of the codegen compiler,
